@@ -1,0 +1,339 @@
+"""Dataset loading, negative sampling and batch iteration.
+
+Behavioral counterpart of ``/root/reference/gnnflow/data.py`` and the loader
+half of ``/root/reference/gnnflow/utils.py:40-75,248-339,344-410``:
+
+- ``load_dataset`` reads the same ``edges.csv`` format (columns src, dst,
+  time, ext_roll; eid = row index) and splits train/val/test by ``ext_roll``
+  searchsorted, exactly like ``utils.py:70-75``.
+- ``load_feat`` reads ``node_features.npy`` / ``edge_features.npy``.
+- ``DstRandEdgeSampler`` / ``RandEdgeSampler`` mirror ``utils.py:344-378,504``.
+- ``EdgePredictionBatch`` iteration mirrors ``EdgePredictionDataset`` +
+  ``RandomStartBatchSampler`` (``data.py:17-117``): each batch is
+  ``target_nodes=[src|dst|neg]`` (3B), tripled timestamps, positive eids, and
+  a random chunk-aligned epoch start offset.
+
+TPU-specific difference: batches are emitted at a **fixed size** (the final
+partial batch is padded and carries ``num_valid``) so that the jitted train
+step compiles once per batch size instead of once per remainder.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+
+def get_project_root_dir() -> str:
+    return os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+# ---------------------------------------------------------------------------
+# Edge tables
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EdgeTable:
+    """A chronological edge list (the contents of one ``edges.csv`` split)."""
+
+    src: np.ndarray   # int64 [E]
+    dst: np.ndarray   # int64 [E]
+    time: np.ndarray  # float32 [E]
+    eid: np.ndarray   # int64 [E]
+
+    def __len__(self) -> int:
+        return len(self.src)
+
+    def __getitem__(self, sl) -> "EdgeTable":
+        return EdgeTable(self.src[sl], self.dst[sl], self.time[sl],
+                         self.eid[sl])
+
+    @classmethod
+    def from_dataframe(cls, df: pd.DataFrame) -> "EdgeTable":
+        if "eid" in df.columns:
+            eid = df["eid"].to_numpy(dtype=np.int64)
+        else:
+            eid = df.index.to_numpy(dtype=np.int64)
+        return cls(
+            src=df["src"].to_numpy(dtype=np.int64),
+            dst=df["dst"].to_numpy(dtype=np.int64),
+            time=df["time"].to_numpy(dtype=np.float32),
+            eid=eid,
+        )
+
+    @property
+    def max_node(self) -> int:
+        if len(self) == 0:
+            return -1
+        return int(max(self.src.max(), self.dst.max()))
+
+    def concat(self, other: "EdgeTable") -> "EdgeTable":
+        return EdgeTable(
+            np.concatenate([self.src, other.src]),
+            np.concatenate([self.dst, other.dst]),
+            np.concatenate([self.time, other.time]),
+            np.concatenate([self.eid, other.eid]),
+        )
+
+
+def load_dataset(dataset: str, data_dir: Optional[str] = None) \
+        -> Tuple[EdgeTable, EdgeTable, EdgeTable, EdgeTable]:
+    """Load ``<data_dir>/<dataset>/edges.csv`` and split by ``ext_roll``.
+
+    Returns (train, val, test, full) edge tables, matching
+    ``gnnflow/utils.py:40-75``.
+    """
+    if data_dir is None:
+        data_dir = os.path.join(get_project_root_dir(), "data")
+    path = os.path.join(data_dir, dataset, "edges.csv")
+    if not os.path.exists(path):
+        raise ValueError(f"{path} does not exist")
+    df = pd.read_csv(path)
+    df = df.rename(columns={"Unnamed: 0": "eid"})
+    ext_roll = df["ext_roll"].to_numpy()
+    train_end = int(np.searchsorted(ext_roll, 1))
+    val_end = int(np.searchsorted(ext_roll, 2))
+    full = EdgeTable.from_dataframe(df)
+    return full[:train_end], full[train_end:val_end], full[val_end:], full
+
+
+def load_dataset_in_chunks(dataset: str, chunksize: int,
+                           data_dir: Optional[str] = None):
+    """Stream ``edges.csv`` in chunks (``gnnflow/utils.py:131-152``)."""
+    if data_dir is None:
+        data_dir = os.path.join(get_project_root_dir(), "data")
+    path = os.path.join(data_dir, dataset, "edges.csv")
+    offset = 0
+    for df in pd.read_csv(path, chunksize=chunksize):
+        df = df.rename(columns={"Unnamed: 0": "eid"})
+        if "eid" not in df.columns:
+            df = df.assign(eid=np.arange(offset, offset + len(df)))
+        offset += len(df)
+        yield EdgeTable.from_dataframe(df), df["ext_roll"].to_numpy()
+
+
+def load_feat(dataset: str, data_dir: Optional[str] = None,
+              memmap: bool = False):
+    """Load node/edge feature matrices (``gnnflow/utils.py:248-339``).
+
+    Returns ``(node_feats, edge_feats)`` as float32 numpy arrays or None.
+    """
+    if data_dir is None:
+        data_dir = os.path.join(get_project_root_dir(), "data")
+    mmap_mode = "r" if memmap else None
+    node_feats = edge_feats = None
+    node_path = os.path.join(data_dir, dataset, "node_features.npy")
+    edge_path = os.path.join(data_dir, dataset, "edge_features.npy")
+    if os.path.exists(node_path):
+        node_feats = np.load(node_path, mmap_mode=mmap_mode)
+    if os.path.exists(edge_path):
+        edge_feats = np.load(edge_path, mmap_mode=mmap_mode)
+    return node_feats, edge_feats
+
+
+# ---------------------------------------------------------------------------
+# Synthetic datasets (no-network environments; deterministic)
+# ---------------------------------------------------------------------------
+
+def make_synthetic_dataset(
+        num_src: int = 1000, num_dst: int = 200, num_edges: int = 20000,
+        dim_node: int = 0, dim_edge: int = 32, seed: int = 0,
+        train_frac: float = 0.70, val_frac: float = 0.15,
+        bipartite: bool = True, time_scale: float = 1.0,
+        recurrence: float = 0.8):
+    """Generate a temporal-interaction dataset with learnable structure.
+
+    Mimics the shape of the JODIE datasets (WIKI/REDDIT are bipartite
+    user-item interaction streams): node ids ``[0, num_src)`` are sources,
+    ``[num_src, num_src+num_dst)`` are destinations.  Each source has a small
+    preferred set of destinations and revisits them with probability
+    ``recurrence`` — giving temporal models signal to learn.
+
+    Returns ``(train, val, test, full, node_feats, edge_feats)``.
+    """
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, num_src, size=num_edges).astype(np.int64)
+
+    # Preferred destinations per source (zipfian popularity).
+    num_pref = 4
+    popularity = 1.0 / (np.arange(num_dst) + 1.0)
+    popularity /= popularity.sum()
+    pref = rng.choice(num_dst, size=(num_src, num_pref), p=popularity)
+
+    revisit = rng.rand(num_edges) < recurrence
+    pref_pick = pref[src, rng.randint(0, num_pref, size=num_edges)]
+    rand_pick = rng.choice(num_dst, size=num_edges, p=popularity)
+    dst = np.where(revisit, pref_pick, rand_pick).astype(np.int64)
+    if bipartite:
+        dst = dst + num_src
+
+    # Strictly increasing-ish timestamps (exponential inter-arrival).
+    time = np.cumsum(rng.exponential(time_scale, size=num_edges)) \
+        .astype(np.float32)
+    eid = np.arange(num_edges, dtype=np.int64)
+
+    full = EdgeTable(src, dst, time, eid)
+    train_end = int(num_edges * train_frac)
+    val_end = int(num_edges * (train_frac + val_frac))
+
+    num_nodes = num_src + num_dst if bipartite else max(num_src, num_dst)
+    node_feats = (rng.randn(num_nodes, dim_node).astype(np.float32)
+                  if dim_node > 0 else None)
+    # Edge features correlated with the dst identity so they carry signal.
+    if dim_edge > 0:
+        dst_emb = rng.randn(num_dst, dim_edge).astype(np.float32)
+        noise = 0.1 * rng.randn(num_edges, dim_edge).astype(np.float32)
+        edge_feats = dst_emb[(dst - num_src) if bipartite else dst] + noise
+    else:
+        edge_feats = None
+    return (full[:train_end], full[train_end:val_end], full[val_end:], full,
+            node_feats, edge_feats)
+
+
+def write_synthetic_dataset(dataset_dir: str, **kwargs) -> None:
+    """Materialize a synthetic dataset in the reference's on-disk format
+    (edges.csv + *_features.npy), usable by :func:`load_dataset`."""
+    train, val, test, full, node_feats, edge_feats = \
+        make_synthetic_dataset(**kwargs)
+    os.makedirs(dataset_dir, exist_ok=True)
+    ext_roll = np.zeros(len(full), dtype=np.int64)
+    ext_roll[len(train):len(train) + len(val)] = 1
+    ext_roll[len(train) + len(val):] = 2
+    df = pd.DataFrame({
+        "src": full.src, "dst": full.dst, "time": full.time,
+        "ext_roll": ext_roll})
+    df.to_csv(os.path.join(dataset_dir, "edges.csv"), index=True)
+    if node_feats is not None:
+        np.save(os.path.join(dataset_dir, "node_features.npy"), node_feats)
+    if edge_feats is not None:
+        np.save(os.path.join(dataset_dir, "edge_features.npy"), edge_feats)
+
+
+# ---------------------------------------------------------------------------
+# Negative samplers (gnnflow/utils.py:344-378, 504-530)
+# ---------------------------------------------------------------------------
+
+class DstRandEdgeSampler:
+    """Uniformly sample negative destinations from the set of seen dsts."""
+
+    def __init__(self, dst_list, seed: Optional[int] = None):
+        self.seed = seed
+        self.dst_list = np.unique(dst_list)
+        self.random_state = np.random.RandomState(seed)
+
+    def sample(self, size: int) -> np.ndarray:
+        idx = self.random_state.randint(0, len(self.dst_list), size)
+        return self.dst_list[idx]
+
+    def reset_random_state(self):
+        self.random_state = np.random.RandomState(self.seed)
+
+    def add_dst_list(self, dst):
+        self.dst_list = np.unique(np.concatenate((self.dst_list, dst)))
+
+
+class RandEdgeSampler:
+    """Sample random (src, dst) pairs (``gnnflow/utils.py:504-530``)."""
+
+    def __init__(self, src_list, dst_list, seed: Optional[int] = None):
+        self.seed = seed
+        self.src_list = np.unique(src_list)
+        self.dst_list = np.unique(dst_list)
+        self.random_state = np.random.RandomState(seed)
+
+    def sample(self, size: int):
+        src_idx = self.random_state.randint(0, len(self.src_list), size)
+        dst_idx = self.random_state.randint(0, len(self.dst_list), size)
+        return self.src_list[src_idx], self.dst_list[dst_idx]
+
+    def reset_random_state(self):
+        self.random_state = np.random.RandomState(self.seed)
+
+
+# ---------------------------------------------------------------------------
+# Batch iteration
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Batch:
+    """One link-prediction batch.
+
+    ``target_nodes`` is ``[src | dst | neg]`` (3B entries, column blocks) and
+    ``ts`` the tripled timestamps — same layout as the reference's
+    ``EdgePredictionDataset.__getitem__`` (``gnnflow/data.py:36-52``).  When
+    the underlying slice is shorter than the nominal batch size the arrays
+    are padded (node id -1, eid 0) and ``num_valid < batch_size``.
+    """
+
+    target_nodes: np.ndarray  # int64 [3B]
+    ts: np.ndarray            # float32 [3B]
+    eids: np.ndarray          # int64 [B]
+    num_valid: int            # valid positive edges (<= B)
+
+    @property
+    def batch_size(self) -> int:
+        return len(self.eids)
+
+
+def _pad_batch(src, dst, neg, ts, eid, batch_size: int) -> Batch:
+    n = len(src)
+    if n < batch_size:
+        pad = batch_size - n
+        pad_nid = np.full(pad, -1, dtype=np.int64)
+        pad_ts = np.zeros(pad, dtype=np.float32)
+        src = np.concatenate([src, pad_nid])
+        dst = np.concatenate([dst, pad_nid])
+        neg = np.concatenate([neg, pad_nid])
+        ts = np.concatenate([ts, pad_ts])
+        eid = np.concatenate([eid, np.zeros(pad, dtype=np.int64)])
+    target_nodes = np.concatenate([src, dst, neg])
+    ts3 = np.concatenate([ts, ts, ts])
+    return Batch(target_nodes.astype(np.int64), ts3.astype(np.float32),
+                 eid.astype(np.int64), n)
+
+
+def get_batches(data: EdgeTable, batch_size: int,
+                neg_sampler: Optional[DstRandEdgeSampler] = None,
+                num_chunks: int = 0,
+                rng: Optional[np.random.RandomState] = None,
+                pad: bool = True,
+                rank: int = 0, world_size: int = 1) -> Iterator[Batch]:
+    """Iterate fixed-size batches over a chronological edge table.
+
+    ``num_chunks > 0`` enables the reference's random epoch start: skip a
+    random multiple of ``batch_size // num_chunks`` edges at the front
+    (``RandomStartBatchSampler.reset``, ``gnnflow/data.py:108-117``).
+
+    ``world_size > 1`` round-robins batches across ranks, the TPU counterpart
+    of ``DistributedBatchSampler``'s ``idx % world_size == rank`` filtering
+    (``gnnflow/data.py:154-171`` keeps every world_size-th *index*; we keep
+    every world_size-th *batch* which preserves chronology per rank).
+    """
+    start = 0
+    if num_chunks > 0:
+        if rng is None:
+            rng = np.random.RandomState()
+        start = rng.randint(0, num_chunks) * (batch_size // num_chunks)
+    n = len(data)
+    batch_idx = 0
+    for lo in range(start, n, batch_size):
+        hi = min(lo + batch_size, n)
+        take = (batch_idx % world_size) == rank
+        batch_idx += 1
+        if not take:
+            continue
+        src = data.src[lo:hi]
+        dst = data.dst[lo:hi]
+        ts = data.time[lo:hi]
+        eid = data.eid[lo:hi]
+        if neg_sampler is not None:
+            neg = neg_sampler.sample(hi - lo)
+        else:
+            neg = np.full(hi - lo, -1, dtype=np.int64)
+        if pad:
+            yield _pad_batch(src, dst, neg, ts, eid, batch_size)
+        else:
+            yield _pad_batch(src, dst, neg, ts, eid, hi - lo)

@@ -1,0 +1,178 @@
+"""Jittable temporal neighbor sampling over the flat T-CSR store.
+
+TPU-native counterpart of the reference CUDA kernels
+(``/root/reference/gnnflow/csrc/sampling_kernels.cu``) and sampler driver
+(``csrc/temporal_sampler.cu``).  Where the reference launches one GPU thread
+per (root, fanout-slot) walking per-vertex block chains, here every vertex's
+history is one contiguous time-sorted run, so a layer sample is:
+
+1. a **vectorized binary search** over all roots for the snapshot window
+   ``[start_ts, end_ts)`` (the ``LowerBound`` of ``csrc/utils.cu:96``),
+2. a dense gather of the selected edges into padded ``[B, fanout]`` outputs.
+
+Snapshot-window math matches ``sampling_kernels.cu:29-40`` exactly:
+- ``num_snapshots == 1``: ``start = 0`` if ``|window| < 1e-6`` else
+  ``root_ts - window``; ``end = root_ts``.
+- else snapshot ``i`` covers
+  ``[root_ts-(S-i)*W, root_ts-(S-i-1)*W)``.
+
+Strategies (``SamplingPolicy`` in ``csrc/api.cc``):
+- ``recent``: the ``k``-th most recent in-window edge per slot
+  (``sampling_kernels.cu:86-104``).
+- ``uniform``: each slot draws uniformly (with replacement) from the
+  in-window candidates, like ``curand() % num_candidates``
+  (``sampling_kernels.cu:202-270``).
+
+Invalid slots carry ``INVALID_NID`` — the padded-mask replacement for the
+reference's ``thrust::remove_if`` compaction (``temporal_sampler.cu:191-199``).
+Everything here runs under ``jax.jit`` (inside the train step itself).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gnnflow_tpu.common import INVALID_NID, MFG, NID_DTYPE, TS_DTYPE
+from gnnflow_tpu.dynamic_graph import DeviceGraph
+
+
+def _lower_bound(e_ts: jax.Array, off: jax.Array, ln: jax.Array,
+                 target: jax.Array, iters: int) -> jax.Array:
+    """First index ``i`` in ``[0, ln)`` with ``e_ts[off+i] >= target``,
+    vectorized over a batch of (off, ln, target) triples."""
+    lo = jnp.zeros_like(ln)
+    hi = ln
+
+    def body(_, lohi):
+        lo, hi = lohi
+        active = lo < hi
+        mid = (lo + hi) // 2
+        idx = jnp.clip(off + mid, 0, e_ts.shape[0] - 1)
+        go_right = e_ts[idx] < target
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, _ = lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
+
+
+def snapshot_window(root_ts: jax.Array, snapshot_idx: int,
+                    num_snapshots: int, window: float):
+    """(start_ts, end_ts) per root — ``sampling_kernels.cu:29-40``."""
+    if num_snapshots == 1:
+        end = root_ts
+        start = (jnp.zeros_like(root_ts) if abs(window) < 1e-6
+                 else root_ts - window)
+    else:
+        end = root_ts - (num_snapshots - snapshot_idx - 1) * window
+        start = end - window
+    return start, end
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fanout", "strategy", "snapshot_idx", "num_snapshots",
+                     "window", "prop_time", "search_iters"))
+def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
+                 *, fanout: int, strategy: str = "recent",
+                 snapshot_idx: int = 0, num_snapshots: int = 1,
+                 window: float = 0.0, prop_time: bool = False,
+                 search_iters: int = 32,
+                 key: jax.Array | None = None) -> MFG:
+    """Sample one layer/snapshot for ``roots`` at ``root_ts`` → padded MFG.
+
+    ``roots`` may contain ``INVALID_NID`` entries (padded upstream roots);
+    they yield fully-masked rows.
+    """
+    if strategy not in ("recent", "uniform"):
+        raise ValueError(f"strategy must be 'recent' or 'uniform'")
+    B = roots.shape[0]
+    roots = roots.astype(NID_DTYPE)
+    root_ts = root_ts.astype(TS_DTYPE)
+
+    valid_root = roots >= 0
+    nid = jnp.where(valid_root, roots, 0)
+    off = g.row_off[nid]
+    ln = jnp.where(valid_root, g.row_len[nid], 0)
+
+    start_ts, end_ts = snapshot_window(
+        root_ts, snapshot_idx, num_snapshots, window)
+
+    s_idx = _lower_bound(g.e_ts, off, ln, start_ts, search_iters)
+    e_idx = _lower_bound(g.e_ts, off, ln, end_ts, search_iters)
+    num_candidates = e_idx - s_idx  # [B]
+
+    if strategy == "recent":
+        # slot k takes the k-th most recent in-window edge
+        k = jnp.arange(fanout, dtype=jnp.int32)[None, :]           # [1,F]
+        pick = e_idx[:, None] - 1 - k                              # [B,F]
+        mask = pick >= s_idx[:, None]
+    else:
+        if key is None:
+            raise ValueError("uniform sampling requires a PRNG key")
+        u = jax.random.uniform(key, (B, fanout), dtype=jnp.float32)
+        nc = num_candidates[:, None]
+        r = jnp.minimum((u * nc).astype(jnp.int32),
+                        jnp.maximum(nc - 1, 0))
+        pick = e_idx[:, None] - 1 - r
+        mask = nc > 0
+
+    idx = jnp.clip(off[:, None] + pick, 0, g.e_dst.shape[0] - 1)
+    nbr_nids = jnp.where(mask, g.e_dst[idx], INVALID_NID)
+    nbr_eids = jnp.where(mask, g.e_eid[idx], 0)
+    edge_ts = jnp.where(mask, g.e_ts[idx], 0.0)
+    nbr_dts = jnp.where(mask, root_ts[:, None] - edge_ts, 0.0)
+    nbr_ts = jnp.where(
+        mask,
+        jnp.broadcast_to(root_ts[:, None], edge_ts.shape)
+        if prop_time else edge_ts,
+        0.0)
+
+    return MFG(root_nids=roots, root_ts=root_ts, nbr_nids=nbr_nids,
+               nbr_ts=nbr_ts, nbr_dts=nbr_dts, nbr_eids=nbr_eids,
+               nbr_mask=mask)
+
+
+def sample_hops(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
+                *, fanouts: Sequence[int], strategy: str = "recent",
+                num_snapshots: int = 1, window: float = 0.0,
+                prop_time: bool = False, search_iters: int = 32,
+                key: jax.Array | None = None) -> List[List[MFG]]:
+    """Multi-layer, multi-snapshot k-hop sampling.
+
+    Layer ``i+1`` roots are layer ``i``'s ``all_nodes`` per snapshot
+    (``temporal_sampler.cu:279-305``).  The returned list is reversed so
+    ``mfgs[0]`` is the innermost (deepest) layer — matching the reference's
+    ``mfgs.reverse()`` in ``temporal_sampler.py:163-165``: model layer ``l``
+    consumes ``mfgs[l]`` and the dst rows of ``mfgs[l]`` are the src rows of
+    ``mfgs[l+1]``.
+    """
+    num_layers = len(fanouts)
+    mfgs: List[List[MFG]] = []
+    per_snap_roots = [(roots, root_ts)] * num_snapshots
+    for layer in range(num_layers):
+        layer_mfgs = []
+        next_roots = []
+        for snap in range(num_snapshots):
+            r, t = per_snap_roots[snap]
+            if key is not None:
+                subkey = jax.random.fold_in(
+                    jax.random.fold_in(key, layer), snap)
+            else:
+                subkey = None
+            mfg = sample_layer(
+                g, r, t, fanout=fanouts[layer], strategy=strategy,
+                snapshot_idx=snap, num_snapshots=num_snapshots,
+                window=window, prop_time=prop_time,
+                search_iters=search_iters, key=subkey)
+            layer_mfgs.append(mfg)
+            next_roots.append((mfg.all_nodes(), mfg.all_ts()))
+        per_snap_roots = next_roots
+        mfgs.append(layer_mfgs)
+    mfgs.reverse()
+    return mfgs

@@ -1,0 +1,97 @@
+"""User-facing temporal sampler.
+
+API parity with ``/root/reference/gnnflow/temporal_sampler.py:14-177``
+(``TemporalSampler(graph, fanouts, sample_strategy, num_snapshots,
+snapshot_time_window, prop_time, seed)``; ``sample(vertices, ts)`` returns a
+layer-major list of per-snapshot MFGs with ``mfgs[0]`` the innermost layer).
+The heavy lifting is the jittable :mod:`gnnflow_tpu.ops.sampling`; this
+wrapper manages device refresh, static-mode timestamps and the PRNG stream.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import numpy as np
+
+from gnnflow_tpu.common import MFG, STATIC_TS
+from gnnflow_tpu.dynamic_graph import DynamicGraph
+from gnnflow_tpu.ops.sampling import sample_hops
+
+
+class TemporalSampler:
+    """Samples k-hop multi-snapshot temporal neighborhoods."""
+
+    def __init__(self, graph: DynamicGraph, fanouts: List[int],
+                 sample_strategy: str = "recent", num_snapshots: int = 1,
+                 snapshot_time_window: float = 0.0, prop_time: bool = False,
+                 seed: int = 1234, is_static: bool = False, **kwargs):
+        sample_strategy = sample_strategy.lower()
+        if sample_strategy not in ("recent", "uniform"):
+            raise ValueError("strategy must be 'recent' or 'uniform'")
+        if num_snapshots > 1 and abs(snapshot_time_window) < 1e-6:
+            raise ValueError(
+                "snapshot_time_window must be positive when num_snapshots>1")
+        self._graph = graph
+        self._fanouts = tuple(int(f) for f in fanouts)
+        self._strategy = sample_strategy
+        self._num_snapshots = int(num_snapshots)
+        self._window = float(snapshot_time_window)
+        self._prop_time = bool(prop_time)
+        self._is_static = bool(is_static)
+        self._key = jax.random.PRNGKey(seed)
+
+    @property
+    def num_layers(self) -> int:
+        return len(self._fanouts)
+
+    @property
+    def num_snapshots(self) -> int:
+        return self._num_snapshots
+
+    @property
+    def fanouts(self):
+        return self._fanouts
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _search_iters(self) -> int:
+        # Enough binary-search steps to cover the largest vertex region;
+        # pool capacity bounds region size, and capacities are pow2 so this
+        # only changes (and recompiles) when the pool itself grows.
+        return max(1, int(self._graph._pool_cap).bit_length())
+
+    def sample(self, target_vertices: np.ndarray,
+               timestamps: np.ndarray) -> List[List[MFG]]:
+        """Sample k-hop neighbors; ``mfgs[0]`` is the innermost layer."""
+        ts = (np.full(np.shape(target_vertices), STATIC_TS, dtype=np.float32)
+              if self._is_static else timestamps)
+        g = self._graph.device_graph()
+        roots = np.asarray(target_vertices, dtype=np.int32)
+        return sample_hops(
+            g, jax.device_put(roots), jax.device_put(
+                np.asarray(ts, dtype=np.float32)),
+            fanouts=self._fanouts, strategy=self._strategy,
+            num_snapshots=self._num_snapshots, window=self._window,
+            prop_time=self._prop_time, search_iters=self._search_iters(),
+            key=self._next_key() if self._strategy == "uniform" else None)
+
+    def sample_layer(self, target_vertices: np.ndarray,
+                     timestamps: np.ndarray, layer: int,
+                     snapshot: int) -> MFG:
+        """Sample a single (layer, snapshot) — reference
+        ``temporal_sampler.py:128-147``."""
+        from gnnflow_tpu.ops.sampling import sample_layer as _sl
+        ts = (np.full(np.shape(target_vertices), STATIC_TS, dtype=np.float32)
+              if self._is_static else np.asarray(timestamps, dtype=np.float32))
+        g = self._graph.device_graph()
+        return _sl(
+            g, jax.device_put(np.asarray(target_vertices, dtype=np.int32)),
+            jax.device_put(ts),
+            fanout=self._fanouts[layer], strategy=self._strategy,
+            snapshot_idx=snapshot, num_snapshots=self._num_snapshots,
+            window=self._window, prop_time=self._prop_time,
+            search_iters=self._search_iters(),
+            key=self._next_key() if self._strategy == "uniform" else None)
