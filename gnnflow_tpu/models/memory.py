@@ -1,0 +1,265 @@
+"""TGN node memory + mailbox as functional device state.
+
+Parity with ``/root/reference/gnnflow/models/modules/memory.py`` (Memory)
+and ``memory_updater.py`` (GRUMemeoryUpdater), re-designed functionally:
+the four state tensors live in one pytree threaded through the jitted train
+step; write-back is a deterministic sort-based unique-keep-last scatter
+(the reference's scatter-permutation idiom, ``memory.py:233-253``).
+
+Known reference quirk preserved for parity: mailbox timestamps are taken as
+``last_updated_ts[:2B]`` (src-block then dst-block order) while mails/nids
+are interleaved ``[s0,d0,s1,d1,...]`` (``memory.py:228-232``) — i.e.
+``mail_ts`` is block-ordered, not interleaved.  TGL does the same.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from gnnflow_tpu.common import MFG
+from gnnflow_tpu.models.modules import Linear, TimeEncode
+from gnnflow_tpu.ops.segment import scatter_rows, unique_keep_last_mask
+
+
+class MemoryState(struct.PyTreeNode):
+    """Per-node memory state (``memory.py:58-66``)."""
+
+    node_memory: jax.Array     # [N, dim_memory]
+    node_memory_ts: jax.Array  # [N]
+    mailbox: jax.Array         # [N, 2*dim_memory + dim_edge]
+    mailbox_ts: jax.Array      # [N]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_memory.shape[0]
+
+    @property
+    def dim_memory(self) -> int:
+        return self.node_memory.shape[1]
+
+
+def init_memory(num_nodes: int, dim_memory: int, dim_edge: int,
+                dtype=jnp.float32) -> MemoryState:
+    dim_raw = 2 * dim_memory + dim_edge
+    return MemoryState(
+        node_memory=jnp.zeros((num_nodes, dim_memory), dtype),
+        node_memory_ts=jnp.zeros((num_nodes,), dtype),
+        mailbox=jnp.zeros((num_nodes, dim_raw), dtype),
+        mailbox_ts=jnp.zeros((num_nodes,), dtype))
+
+
+def reset_memory(state: MemoryState) -> MemoryState:
+    return jax.tree.map(jnp.zeros_like, state)
+
+
+def resize_memory(state: MemoryState, num_nodes: int) -> MemoryState:
+    """Grow (zero-filled) to ``num_nodes`` rows (``memory.py:112-131``)."""
+    if num_nodes <= state.num_nodes:
+        return state
+    pad = num_nodes - state.num_nodes
+
+    def grow(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    return jax.tree.map(grow, state)
+
+
+def backup_memory(state: MemoryState) -> Dict:
+    """Host-side snapshot (``memory.py:133-141``)."""
+    return {k: jax.device_get(v) for k, v in
+            dict(node_memory=state.node_memory,
+                 node_memory_ts=state.node_memory_ts,
+                 mailbox=state.mailbox,
+                 mailbox_ts=state.mailbox_ts).items()}
+
+
+def restore_memory(backup: Dict) -> MemoryState:
+    return MemoryState(
+        node_memory=jnp.asarray(backup["node_memory"]),
+        node_memory_ts=jnp.asarray(backup["node_memory_ts"]),
+        mailbox=jnp.asarray(backup["mailbox"]),
+        mailbox_ts=jnp.asarray(backup["mailbox_ts"]))
+
+
+def prepare_input(state: MemoryState, mfg: MFG) -> Dict[str, jax.Array]:
+    """Pull memory rows for the MFG's node set (``memory.py:156-190``).
+
+    The reference uniquifies before pulling purely to reduce transfer; a
+    direct gather yields identical values (pull happens before any write)."""
+    nids = mfg.all_nodes()
+    safe = jnp.clip(nids, 0, state.num_nodes - 1)
+    return {
+        "mem": state.node_memory[safe],
+        "mem_ts": state.node_memory_ts[safe],
+        "mail": state.mailbox[safe],
+        "mail_ts": state.mailbox_ts[safe],
+    }
+
+
+class GRUMemoryUpdater(nn.Module):
+    """GRU-cell memory updater (``memory_updater.py:13-91``).
+
+    ``__call__`` consumes the innermost MFG + pulled memory inputs and
+    returns ``(h, last_updated)`` where ``h`` is the updated memory for all
+    MFG nodes (optionally fused with projected node features) and
+    ``last_updated`` holds the detached (nid, memory, ts) of dst rows for
+    deferred write-back."""
+
+    dim_node: int
+    dim_edge: int
+    dim_time: int
+    dim_embed: int
+    dim_memory: int
+
+    @nn.compact
+    def __call__(self, mfg: MFG, mem_input: Dict[str, jax.Array],
+                 node_feats: Optional[jax.Array] = None
+                 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        mail = mem_input["mail"]
+        mem = mem_input["mem"]
+        all_ts = mfg.all_ts()
+
+        x = mail
+        if self.dim_time > 0:
+            tf = TimeEncode(self.dim_time)(all_ts - mem_input["mem_ts"])
+            x = jnp.concatenate([mail, tf], axis=-1)
+
+        updated = nn.GRUCell(
+            features=self.dim_memory,
+            kernel_init=nn.initializers.variance_scaling(
+                1.0 / 3.0, "fan_in", "uniform"))(mem, x)[0]
+
+        num_dst = mfg.num_dst
+        last_updated = {
+            "last_updated_nid": jax.lax.stop_gradient(
+                mfg.all_nodes()[:num_dst]),
+            "last_updated_memory": jax.lax.stop_gradient(
+                updated[:num_dst]),
+            "last_updated_ts": jax.lax.stop_gradient(all_ts[:num_dst]),
+        }
+
+        if self.dim_node > 0 and node_feats is not None:
+            if self.dim_node == self.dim_memory:
+                h = node_feats + updated
+            else:
+                h = updated + Linear(self.dim_memory,
+                                     name="node_feat_proj")(node_feats)
+        else:
+            h = updated
+        return h, last_updated
+
+
+class TransformerMemoryUpdater(nn.Module):
+    """APAN-style attention memory updater (TGL ``TransformerMemoryUpdater``):
+    the mail itself attends over the current memory via a single-query
+    transformer block instead of a GRU recurrence."""
+
+    dim_node: int
+    dim_edge: int
+    dim_time: int
+    dim_embed: int
+    dim_memory: int
+    att_head: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, mfg: MFG, mem_input: Dict[str, jax.Array],
+                 node_feats: Optional[jax.Array] = None,
+                 train: bool = False):
+        mail = mem_input["mail"]
+        mem = mem_input["mem"]
+        all_ts = mfg.all_ts()
+
+        x = mail
+        if self.dim_time > 0:
+            tf = TimeEncode(self.dim_time)(all_ts - mem_input["mail_ts"])
+            x = jnp.concatenate([mail, tf], axis=-1)
+
+        q = Linear(self.dim_memory, name="w_q")(mem)
+        k = Linear(self.dim_memory, name="w_k")(x)
+        v = Linear(self.dim_memory, name="w_v")(x)
+        H = self.att_head
+        dh = self.dim_memory // H
+        att = jnp.sum(q.reshape(-1, H, dh) * k.reshape(-1, H, dh), -1) \
+            / jnp.sqrt(jnp.float32(dh))
+        att = jax.nn.softmax(att, axis=-1)
+        upd = (v.reshape(-1, H, dh) * att[..., None]).reshape(
+            -1, self.dim_memory)
+        upd = nn.LayerNorm(epsilon=1e-5)(
+            mem + nn.Dropout(self.dropout, deterministic=not train)(upd))
+
+        num_dst = mfg.num_dst
+        last_updated = {
+            "last_updated_nid": jax.lax.stop_gradient(
+                mfg.all_nodes()[:num_dst]),
+            "last_updated_memory": jax.lax.stop_gradient(upd[:num_dst]),
+            "last_updated_ts": jax.lax.stop_gradient(all_ts[:num_dst]),
+        }
+        if self.dim_node > 0 and node_feats is not None:
+            if self.dim_node == self.dim_memory:
+                h = node_feats + upd
+            else:
+                h = upd + Linear(self.dim_memory,
+                                 name="node_feat_proj")(node_feats)
+        else:
+            h = upd
+        return h, last_updated
+
+
+def update_mem_mail(state: MemoryState,
+                    last_updated_nid: jax.Array,
+                    last_updated_memory: jax.Array,
+                    last_updated_ts: jax.Array,
+                    edge_feats: Optional[jax.Array] = None,
+                    valid: Optional[jax.Array] = None,
+                    neg_sample_ratio: int = 1) -> MemoryState:
+    """Write back mails and memories of the batch's src/dst nodes
+    (``memory.py:192-269``), deduplicating by nid keeping the **last**
+    occurrence.  ``valid`` masks padded batch rows (shape [B])."""
+    split = 2 + neg_sample_ratio
+    b = last_updated_nid.shape[0] // split
+    src, dst = last_updated_nid[:b], last_updated_nid[b:2 * b]
+    mem_src = last_updated_memory[:b]
+    mem_dst = last_updated_memory[b:2 * b]
+
+    if edge_feats is None:
+        dim_edge = state.mailbox.shape[1] - 2 * state.dim_memory
+        edge_feats = jnp.zeros((b, dim_edge), state.mailbox.dtype)
+
+    src_mail = jnp.concatenate([mem_src, mem_dst, edge_feats], axis=1)
+    dst_mail = jnp.concatenate([mem_dst, mem_src, edge_feats], axis=1)
+    # interleave [s0, d0, s1, d1, ...] (memory.py:228-232)
+    mail = jnp.stack([src_mail, dst_mail], axis=1).reshape(
+        2 * b, src_mail.shape[1])
+    nid = jnp.stack([src, dst], axis=1).reshape(-1)
+    # NB: block-ordered, not interleaved — reference quirk (see module doc).
+    mail_ts = last_updated_ts[:2 * b]
+
+    if valid is None:
+        valid = jnp.ones((b,), dtype=bool)
+    valid_inter = jnp.stack([valid, valid], axis=1).reshape(-1)
+    valid_inter &= nid >= 0
+    valid_block = jnp.concatenate([valid, valid]) & (
+        last_updated_nid[:2 * b] >= 0)
+
+    win_mail = unique_keep_last_mask(nid, valid_inter)
+    new_mailbox = scatter_rows(state.mailbox, nid, mail, win_mail)
+    new_mailbox_ts = scatter_rows(state.mailbox_ts, nid, mail_ts, win_mail)
+
+    nid_mem = last_updated_nid[:2 * b]
+    mem_vals = last_updated_memory[:2 * b]
+    mem_ts = last_updated_ts[:2 * b]
+    win_mem = unique_keep_last_mask(nid_mem, valid_block)
+    new_memory = scatter_rows(state.node_memory, nid_mem, mem_vals, win_mem)
+    new_memory_ts = scatter_rows(state.node_memory_ts, nid_mem, mem_ts,
+                                 win_mem)
+
+    return MemoryState(node_memory=new_memory,
+                       node_memory_ts=new_memory_ts,
+                       mailbox=new_mailbox,
+                       mailbox_ts=new_mailbox_ts)

@@ -1,0 +1,194 @@
+"""Core neural modules: time encoding, temporal attention, edge predictor.
+
+Behavioral parity with ``/root/reference/gnnflow/models/modules/layers.py``
+(the TGL-style layer stack), re-designed for padded MFGs: where the
+reference runs DGL ``edge_softmax`` + SpMM over variable-length edge lists,
+we compute per-destination masked softmax over the dense ``[B, fanout]``
+neighbor axis — pure MXU matmuls + VPU elementwise, no scatter/segment ops.
+
+Linear-layer initialization follows torch defaults (kaiming-uniform weights
+with a=sqrt(5) → U(±sqrt(1/fan_in)); bias U(±1/sqrt(fan_in))) so training
+dynamics match the reference.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from gnnflow_tpu.common import MFG
+
+# torch nn.Linear default init: kaiming_uniform(a=sqrt(5)) == U(±sqrt(1/fan_in))
+torch_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Linear(nn.Module):
+    """nn.Dense with torch-default initialization."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        # fan_in == 0 is legal (zero-width dummy features, layers.py:111-137)
+        kinit = torch_kernel_init if fan_in > 0 else nn.initializers.zeros
+        kernel = self.param("kernel", kinit, (fan_in, self.features))
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda k, s: torch_bias_init(k, s, fan_in=fan_in),
+                (self.features,))
+            y = y + bias
+        return y
+
+
+class TimeEncode(nn.Module):
+    """TGAT fixed-frequency time encoding: ``cos(w * dt + b)`` with
+    ``w = 1/10^linspace(0, 9, d)`` (``layers.py:16-35``).  Trainable."""
+
+    dim_time: int
+
+    @nn.compact
+    def __call__(self, delta_time: jax.Array) -> jax.Array:
+        w = self.param(
+            "w",
+            lambda key, shape: jnp.asarray(
+                1.0 / 10 ** np.linspace(0, 9, self.dim_time,
+                                        dtype=np.float32)),
+            (self.dim_time,))
+        b = self.param("b", nn.initializers.zeros, (self.dim_time,))
+        return jnp.cos(delta_time[..., None] * w + b)
+
+
+def masked_softmax(scores: jax.Array, mask: jax.Array,
+                   axis: int = 1) -> jax.Array:
+    """Softmax over ``axis`` with invalid entries excluded; rows with no
+    valid entries return all-zeros (matching DGL edge_softmax + sum-agg
+    semantics for isolated destinations)."""
+    neg = jnp.finfo(scores.dtype).min
+    masked = jnp.where(mask, scores, neg)
+    m = jnp.max(masked, axis=axis, keepdims=True)
+    e = jnp.exp(masked - m) * mask
+    s = jnp.sum(e, axis=axis, keepdims=True)
+    return e / jnp.maximum(s, 1e-10)
+
+
+class TemporalAttentionLayer(nn.Module):
+    """Transformer attention over a padded MFG
+    (``layers.py:38-168`` ``TransfomerAttentionLayer``).
+
+    Q from dst (+zero-time encoding); K/V from src-embed ⊕ edge-feat ⊕
+    time-enc(dt); per-edge dot-product scores → LeakyReLU(0.2) →
+    per-dst softmax → weighted V sum; out-proj of [agg ‖ dst] → dropout →
+    ReLU → LayerNorm."""
+
+    dim_node: int
+    dim_edge: int
+    dim_time: int
+    dim_out: int
+    num_head: int
+    dropout: float = 0.0
+    att_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, mfg: MFG, h_all: Optional[jax.Array],
+                 edge_feats: Optional[jax.Array],
+                 train: bool = False) -> jax.Array:
+        B, F = mfg.num_dst, mfg.fanout
+        use_node = self.dim_node > 0
+        use_edge = self.dim_edge > 0
+        use_time = self.dim_time > 0
+        mask = mfg.nbr_mask  # [B, F]
+
+        if use_node:
+            h_dst = h_all[:B]
+            h_src = h_all[B:].reshape(B, F, -1)
+        else:
+            # dummy embeddings (layers.py:111-123)
+            h_dst = (jnp.zeros((B, 0)) if use_time
+                     else jnp.ones((B, self.dim_out)))
+            h_src = jnp.zeros((B, F, 0))
+
+        ef = edge_feats if use_edge else jnp.zeros((B, F, 0))
+
+        if use_time:
+            time_enc = TimeEncode(self.dim_time)
+            tf = time_enc(mfg.nbr_dts)                     # [B, F, dt]
+            ztf = time_enc(jnp.zeros((B,), jnp.float32))   # [B, dt]
+        else:
+            tf = jnp.zeros((B, F, 0))
+            ztf = jnp.zeros((B, 0))
+
+        q_in = jnp.concatenate([h_dst, ztf], axis=-1)
+        kv_in = jnp.concatenate([h_src, ef, tf], axis=-1)
+
+        if use_node or use_time:
+            Q = Linear(self.dim_out, name="w_q")(q_in)
+        else:
+            Q = q_in  # identity (layers.py:76-79)
+        K = Linear(self.dim_out, name="w_k")(kv_in)
+        V = Linear(self.dim_out, name="w_v")(kv_in)
+
+        H = self.num_head
+        dh = self.dim_out // H
+        Qh = Q.reshape(B, 1, H, dh)
+        Kh = K.reshape(B, F, H, dh)
+        Vh = V.reshape(B, F, H, dh)
+
+        att = nn.leaky_relu(jnp.sum(Qh * Kh, axis=-1),
+                            negative_slope=0.2)            # [B, F, H]
+        att = masked_softmax(att, mask[..., None], axis=1)
+        att = nn.Dropout(self.att_dropout, deterministic=not train)(att)
+
+        agg = jnp.sum(Vh * att[..., None], axis=1).reshape(B, self.dim_out)
+
+        if use_node:
+            rst = jnp.concatenate([agg, h_dst], axis=-1)
+        else:
+            rst = agg
+        rst = Linear(self.dim_out, name="w_out")(rst)
+        rst = nn.relu(nn.Dropout(self.dropout,
+                                 deterministic=not train)(rst))
+        return nn.LayerNorm(epsilon=1e-5)(rst)
+
+
+class EdgePredictor(nn.Module):
+    """Edge prediction head (``layers.py:171-197``): split embeddings into
+    (src, pos_dst, neg_dst) thirds; score = out_fc(relu(src_fc(s)+dst_fc(d)))."""
+
+    dim_embed: int
+
+    @nn.compact
+    def __call__(self, h: jax.Array):
+        src_h, pos_h, neg_h = jnp.split(h, 3, axis=0)
+        src_fc = Linear(self.dim_embed, name="src_fc")
+        dst_fc = Linear(self.dim_embed, name="dst_fc")
+        out_fc = Linear(1, name="out_fc")
+        s = src_fc(src_h)
+        p = dst_fc(pos_h)
+        n = dst_fc(neg_h)
+        return out_fc(nn.relu(s + p)), out_fc(nn.relu(s + n))
+
+
+class MLP(nn.Module):
+    """Node-classification head (``layers.py:200-214``)."""
+
+    dim_hid: int
+    num_class: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Linear(self.dim_hid, name="fc1")(x)
+        x = nn.relu(x)
+        return Linear(self.num_class, name="fc2")(x)

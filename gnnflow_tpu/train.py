@@ -1,0 +1,213 @@
+"""Training engine: the fused jitted train/eval step.
+
+The reference splits each iteration across host threads and CUDA streams —
+sampling thread, pinned-buffer feature staging, memory fetch, model
+forward/backward, memory write-back
+(``/root/reference/scripts/offline_edge_prediction.py:343-454``).  On TPU the
+entire iteration is **one XLA program**: sampling (binary search + gathers),
+feature gathers, attention, loss, Adam update and memory write-back are
+fused into a single jit — no host round-trips, no pipeline threads needed.
+
+Under a device mesh the same function runs data-parallel: shard the batch
+along the ``data`` axis, keep params/memory/graph replicated, and GSPMD
+inserts the gradient all-reduce automatically (the DDP-equivalent,
+``offline_edge_prediction.py:274-275``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from gnnflow_tpu.common import MFG
+from gnnflow_tpu.dynamic_graph import DeviceGraph
+from gnnflow_tpu.models import memory as memory_lib
+from gnnflow_tpu.models.dgnn import DGNN
+from gnnflow_tpu.ops.sampling import sample_hops
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    memory: Optional[memory_lib.MemoryState]
+    key: jax.Array
+    step: jax.Array
+
+
+def bce_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Elementwise torch BCEWithLogitsLoss."""
+    return jnp.maximum(logits, 0) - logits * labels \
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _gather_rows(table: Optional[jax.Array], ids: jax.Array,
+                 valid: jax.Array) -> Optional[jax.Array]:
+    """Feature gather with padded-id masking (invalid rows zeroed)."""
+    if table is None:
+        return None
+    safe = jnp.clip(ids, 0, table.shape[0] - 1)
+    rows = table[safe]
+    return jnp.where(valid.reshape(valid.shape + (1,) * (rows.ndim - 1)),
+                     rows, 0)
+
+
+def fetch_features(mfgs: List[List[MFG]],
+                   node_feats: Optional[jax.Array],
+                   edge_feats: Optional[jax.Array]):
+    """HBM-resident feature fetch (the ``Cache.fetch_feature`` fast path,
+    ``gnnflow/cache/cache.py:255``, when everything fits on device)."""
+    nfs = []
+    for mfg in mfgs[0]:
+        nfs.append(_gather_rows(node_feats, mfg.all_nodes(),
+                                mfg.all_mask()))
+    efs = []
+    for layer in mfgs:
+        efs.append([
+            _gather_rows(edge_feats, mfg.nbr_eids, mfg.nbr_mask)
+            for mfg in layer])
+    return nfs, efs
+
+
+class Trainer:
+    """Builds jitted train/eval steps for a DGNN + sampler configuration."""
+
+    def __init__(self, model: DGNN, *, fanouts, sample_strategy="recent",
+                 num_snapshots=1, snapshot_time_window=0.0, prop_time=False,
+                 is_static=False, lr=1e-4, optimizer=None,
+                 neg_sample_ratio=1):
+        self.model = model
+        self.fanouts = tuple(int(f) for f in fanouts)
+        self.strategy = sample_strategy
+        self.num_snapshots = int(num_snapshots)
+        self.window = float(snapshot_time_window)
+        self.prop_time = bool(prop_time)
+        self.is_static = bool(is_static)
+        self.tx = optimizer if optimizer is not None else optax.adam(lr)
+        self.neg_ratio = int(neg_sample_ratio)
+
+        self._train_step = jax.jit(self._step, static_argnames=("train",),
+                                   donate_argnames=("state",))
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, key: jax.Array, dg: DeviceGraph,
+                   batch_size: int,
+                   node_feats: Optional[jax.Array],
+                   edge_feats: Optional[jax.Array],
+                   num_nodes: int) -> TrainState:
+        """Initialize params/opt/memory with a dummy batch."""
+        b3 = batch_size * (2 + self.neg_ratio)
+        roots = jnp.zeros((b3,), jnp.int32)
+        ts = jnp.zeros((b3,), jnp.float32)
+        mfgs = sample_hops(
+            dg, roots, ts, fanouts=self.fanouts, strategy=self.strategy,
+            num_snapshots=self.num_snapshots, window=self.window,
+            prop_time=self.prop_time,
+            search_iters=self._iters(dg), key=key)
+        nfs, efs = fetch_features(mfgs, node_feats, edge_feats)
+        mem_input = None
+        memory = None
+        if self.model.use_memory:
+            memory = memory_lib.init_memory(
+                num_nodes, self.model.dim_memory, self.model.dim_edge)
+            mem_input = memory_lib.prepare_input(memory, mfgs[0][0])
+        params = self.model.init(
+            {"params": key, "dropout": key},
+            mfgs, nfs, efs, mem_input, train=True)["params"]
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          memory=memory, key=key,
+                          step=jnp.zeros((), jnp.int32))
+
+    @staticmethod
+    def _iters(dg: DeviceGraph) -> int:
+        return max(1, int(dg.e_ts.shape[0]).bit_length())
+
+    # ------------------------------------------------------------------
+
+    def _step(self, state: TrainState, dg: DeviceGraph,
+              node_feats, edge_feats,
+              target_nodes, ts, eids, valid, *, train: bool):
+        """One fused iteration.  ``target_nodes``/``ts`` are [3B] (src|dst|
+        neg blocks), ``eids`` [B], ``valid`` [B] masks padded rows."""
+        key, kdrop, ksample = jax.random.split(state.key, 3)
+        sample_ts = (jnp.full_like(ts, np.float32(3.4e38))
+                     if self.is_static else ts)
+        mfgs = sample_hops(
+            dg, target_nodes.astype(jnp.int32), sample_ts,
+            fanouts=self.fanouts, strategy=self.strategy,
+            num_snapshots=self.num_snapshots, window=self.window,
+            prop_time=self.prop_time, search_iters=self._iters(dg),
+            key=ksample)
+        nfs, efs = fetch_features(mfgs, node_feats, edge_feats)
+        mem_input = None
+        if self.model.use_memory:
+            mem_input = memory_lib.prepare_input(state.memory, mfgs[0][0])
+        b = eids.shape[0]
+        valid3 = jnp.concatenate([valid, valid, valid])
+
+        def loss_fn(params):
+            pos, neg, last = self.model.apply(
+                {"params": params}, mfgs, nfs, efs, mem_input,
+                train=train, rngs={"dropout": kdrop})
+            w = valid.astype(jnp.float32)[:, None]
+            denom = jnp.maximum(jnp.sum(w), 1.0)
+            loss = (jnp.sum(bce_with_logits(pos, jnp.ones_like(pos)) * w)
+                    + jnp.sum(bce_with_logits(neg, jnp.zeros_like(neg))
+                              * w)) / denom
+            return loss, (pos, neg, last)
+
+        if train:
+            (loss, (pos, neg, last)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+        else:
+            loss, (pos, neg, last) = loss_fn(state.params)
+            params, opt_state = state.params, state.opt_state
+
+        memory = state.memory
+        if self.model.use_memory:
+            # target-edge features for mails (cache.py:402-411)
+            tef = _gather_rows(edge_feats, eids.astype(jnp.int32), valid) \
+                if edge_feats is not None else None
+            memory = memory_lib.update_mem_mail(
+                memory, last["last_updated_nid"],
+                last["last_updated_memory"], last["last_updated_ts"],
+                edge_feats=tef, valid=valid,
+                neg_sample_ratio=self.neg_ratio)
+        del valid3, b
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  memory=memory, key=key,
+                                  step=state.step + 1)
+        return new_state, loss, pos[:, 0], neg[:, 0]
+
+    # ------------------------------------------------------------------
+
+    def train_step(self, state, dg, node_feats, edge_feats, batch):
+        return self._train_step(
+            state, dg, node_feats, edge_feats,
+            jnp.asarray(batch.target_nodes, jnp.int32),
+            jnp.asarray(batch.ts, jnp.float32),
+            jnp.asarray(batch.eids, jnp.int32),
+            _valid_mask(batch), train=True)
+
+    def eval_step(self, state, dg, node_feats, edge_feats, batch):
+        return self._train_step(
+            state, dg, node_feats, edge_feats,
+            jnp.asarray(batch.target_nodes, jnp.int32),
+            jnp.asarray(batch.ts, jnp.float32),
+            jnp.asarray(batch.eids, jnp.int32),
+            _valid_mask(batch), train=False)
+
+
+def _valid_mask(batch) -> jax.Array:
+    m = np.zeros(batch.batch_size, dtype=bool)
+    m[: batch.num_valid] = True
+    return jnp.asarray(m)

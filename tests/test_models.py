@@ -1,0 +1,197 @@
+"""Model-stack tests: module math, memory semantics, end-to-end smoke.
+
+Counterpart of the reference ``tests/test_model.py`` (TGN/SAGE/GAT forward
+smoke) plus unit checks the reference lacks: TimeEncode golden values,
+masked-softmax behavior, unique-keep-last write-back ordering.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnnflow_tpu.common import MFG
+from gnnflow_tpu.models.modules import (TimeEncode, TemporalAttentionLayer,
+                                        EdgePredictor, masked_softmax)
+from gnnflow_tpu.models import memory as memory_lib
+from gnnflow_tpu.models.dgnn import DGNN
+from gnnflow_tpu.ops.segment import unique_keep_last_mask
+
+
+def test_time_encode_golden():
+    te = TimeEncode(4)
+    params = te.init(jax.random.PRNGKey(0), jnp.zeros((3,)))
+    dt = jnp.array([0.0, 1.0, 2.0])
+    out = te.apply(params, dt)
+    w = 1.0 / 10 ** np.linspace(0, 9, 4, dtype=np.float32)
+    expect = np.cos(dt[:, None] * w)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+
+
+def test_masked_softmax():
+    scores = jnp.array([[1.0, 2.0, 3.0], [5.0, 5.0, 5.0]])
+    mask = jnp.array([[True, True, False], [False, False, False]])
+    out = np.asarray(masked_softmax(scores, mask, axis=1))
+    e = np.exp(np.array([1.0, 2.0]) - 2.0)
+    np.testing.assert_allclose(out[0], [e[0] / e.sum(), e[1] / e.sum(), 0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(out[1], [0, 0, 0])
+
+
+def make_mfg(B=4, F=3, seed=0, num_nodes=20):
+    rng = np.random.RandomState(seed)
+    mask = rng.rand(B, F) < 0.8
+    nbr = np.where(mask, rng.randint(0, num_nodes, (B, F)), -1)
+    return MFG(
+        root_nids=jnp.asarray(rng.randint(0, num_nodes, B), jnp.int32),
+        root_ts=jnp.asarray(rng.rand(B) * 10, jnp.float32),
+        nbr_nids=jnp.asarray(nbr, jnp.int32),
+        nbr_ts=jnp.asarray(rng.rand(B, F) * 10 * mask, jnp.float32),
+        nbr_dts=jnp.asarray(rng.rand(B, F) * mask, jnp.float32),
+        nbr_eids=jnp.asarray(rng.randint(0, 50, (B, F)) * mask, jnp.int32),
+        nbr_mask=jnp.asarray(mask))
+
+
+@pytest.mark.parametrize("dim_node,dim_edge,dim_time", [
+    (8, 4, 8), (0, 4, 8), (8, 0, 8), (0, 0, 0), (0, 4, 0)])
+def test_attention_layer_shapes(dim_node, dim_edge, dim_time):
+    B, F, D = 4, 3, 16
+    mfg = make_mfg(B, F)
+    layer = TemporalAttentionLayer(
+        dim_node=dim_node, dim_edge=dim_edge, dim_time=dim_time,
+        dim_out=D, num_head=2)
+    h_all = (jnp.ones((B * (1 + F), dim_node)) if dim_node else None)
+    ef = jnp.ones((B, F, dim_edge)) if dim_edge else None
+    params = layer.init(jax.random.PRNGKey(0), mfg, h_all, ef)
+    out = layer.apply(params, mfg, h_all, ef)
+    assert out.shape == (B, D)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_attention_no_valid_neighbors_gives_zero_agg():
+    """Rows with zero valid neighbors aggregate to exactly zero before the
+    output projection (DGL edge_softmax + sum semantics)."""
+    B, F, D = 2, 3, 8
+    mfg = make_mfg(B, F)
+    mfg = mfg.replace(nbr_mask=jnp.zeros((B, F), bool))
+    layer = TemporalAttentionLayer(dim_node=4, dim_edge=0, dim_time=4,
+                                   dim_out=D, num_head=2)
+    h_all = jnp.ones((B * (1 + F), 4))
+    params = layer.init(jax.random.PRNGKey(0), mfg, h_all, None)
+    out = layer.apply(params, mfg, h_all, None)
+    # agg part zero, so output depends only on h_dst through w_out
+    assert out.shape == (B, D)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_edge_predictor():
+    ep = EdgePredictor(8)
+    h = jnp.ones((9, 8))
+    params = ep.init(jax.random.PRNGKey(0), h)
+    pos, neg = ep.apply(params, h)
+    assert pos.shape == (3, 1) and neg.shape == (3, 1)
+
+
+def test_unique_keep_last_mask():
+    nids = jnp.array([3, 5, 3, 7, 5, 3])
+    mask = np.asarray(unique_keep_last_mask(nids))
+    assert mask.tolist() == [False, False, False, True, True, True]
+    # with validity: last valid occurrence wins
+    valid = jnp.array([True, True, True, True, True, False])
+    mask = np.asarray(unique_keep_last_mask(nids, valid))
+    assert mask.tolist() == [False, False, True, True, True, False]
+
+
+def test_memory_update_keep_last():
+    """Duplicate nodes within a batch: the LAST occurrence's memory/mail
+    wins (memory.py:233-253)."""
+    state = memory_lib.init_memory(10, 4, 0)
+    B = 3
+    # batch: src=[1,1,2], dst=[5,6,5]; neg ignored
+    nid = jnp.array([1, 1, 2, 5, 6, 5, 7, 8, 9])
+    mem = jnp.arange(9 * 4, dtype=jnp.float32).reshape(9, 4)
+    ts = jnp.arange(9, dtype=jnp.float32)
+    new = memory_lib.update_mem_mail(state, nid, mem, ts)
+    # node 1 appears at positions 0,1 -> memory from position 1
+    np.testing.assert_allclose(np.asarray(new.node_memory[1]),
+                               np.asarray(mem[1]))
+    np.testing.assert_allclose(np.asarray(new.node_memory[2]),
+                               np.asarray(mem[2]))
+    # node 5 appears at dst positions 3 and 5 -> position 5 wins
+    np.testing.assert_allclose(np.asarray(new.node_memory[5]),
+                               np.asarray(mem[5]))
+    np.testing.assert_allclose(np.asarray(new.node_memory_ts[5]), 5.0)
+    # untouched nodes remain zero
+    np.testing.assert_allclose(np.asarray(new.node_memory[0]), 0.0)
+    # mailbox: node 1 gets src_mail from pair index 1: [mem1|mem_dst1]
+    np.testing.assert_allclose(np.asarray(new.mailbox[1]),
+                               np.concatenate([mem[1], mem[4]]))
+
+
+def test_memory_padded_rows_ignored():
+    state = memory_lib.init_memory(10, 2, 0)
+    nid = jnp.array([1, 2, 3, 4, 0, 0])  # B=2, last row padded
+    mem = jnp.ones((6, 2))
+    ts = jnp.ones((6,))
+    valid = jnp.array([True, False])
+    new = memory_lib.update_mem_mail(state, nid, mem, ts, valid=valid)
+    np.testing.assert_allclose(np.asarray(new.node_memory[1]), 1.0)
+    np.testing.assert_allclose(np.asarray(new.node_memory[3]), 1.0)
+    np.testing.assert_allclose(np.asarray(new.node_memory[2]), 0.0)
+    np.testing.assert_allclose(np.asarray(new.node_memory[4]), 0.0)
+
+
+def test_memory_backup_restore_resize():
+    state = memory_lib.init_memory(4, 2, 1)
+    state = state.replace(node_memory=state.node_memory.at[1].set(3.0))
+    bk = memory_lib.backup_memory(state)
+    restored = memory_lib.restore_memory(bk)
+    np.testing.assert_allclose(np.asarray(restored.node_memory[1]), 3.0)
+    grown = memory_lib.resize_memory(state, 8)
+    assert grown.num_nodes == 8
+    np.testing.assert_allclose(np.asarray(grown.node_memory[1]), 3.0)
+    np.testing.assert_allclose(np.asarray(grown.node_memory[6]), 0.0)
+
+
+def _sample_mfgs(num_layers=1, num_snapshots=1, B=6, F=3):
+    mfgs = []
+    roots = B
+    for l in range(num_layers):
+        layer = [make_mfg(roots, F, seed=l * 10 + s)
+                 for s in range(num_snapshots)]
+        mfgs.append(layer)
+        roots = roots * (1 + F)
+    mfgs.reverse()
+    return mfgs
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(num_layers=1, num_snapshots=1, use_memory=True, dim_memory=8,
+         dim_node=0, dim_edge=4, dim_time=8),               # TGN-like
+    dict(num_layers=2, num_snapshots=1, use_memory=False,
+         dim_node=0, dim_edge=4, dim_time=8),               # TGAT-like
+    dict(num_layers=2, num_snapshots=3, use_memory=False,
+         dim_node=0, dim_edge=4, dim_time=0),               # DySAT-like
+    dict(num_layers=1, num_snapshots=1, use_memory=True, dim_memory=8,
+         dim_node=0, dim_edge=4, dim_time=8,
+         memory_updater="transformer"),                     # APAN-like
+])
+def test_dgnn_forward(cfg):
+    B, F = 6, 3
+    model = DGNN(dim_embed=8, att_head=2, dropout=0.1, att_dropout=0.1,
+                 **cfg)
+    mfgs = _sample_mfgs(cfg["num_layers"], cfg["num_snapshots"], B, F)
+    nfs = [None] * cfg["num_snapshots"]
+    efs = [[jnp.ones((m.num_dst, F, 4)) for m in layer] for layer in mfgs]
+    mem_input = None
+    if cfg["use_memory"]:
+        mem = memory_lib.init_memory(20, cfg["dim_memory"], 4)
+        mem_input = memory_lib.prepare_input(mem, mfgs[0][0])
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        mfgs, nfs, efs, mem_input, train=True)
+    pos, neg, last = model.apply(params, mfgs, nfs, efs, mem_input)
+    assert pos.shape == (B // 3, 1) and neg.shape == (B // 3, 1)
+    assert np.isfinite(np.asarray(pos)).all()
+    if cfg["use_memory"]:
+        assert last is not None
+        assert last["last_updated_nid"].shape == (B,)
