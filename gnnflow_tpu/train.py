@@ -52,8 +52,8 @@ def _gather_rows(table: Optional[jax.Array], ids: jax.Array,
         return None
     safe = jnp.clip(ids, 0, table.shape[0] - 1)
     rows = table[safe]
-    return jnp.where(valid.reshape(valid.shape + (1,) * (rows.ndim - 1)),
-                     rows, 0)
+    extra = rows.ndim - valid.ndim
+    return jnp.where(valid.reshape(valid.shape + (1,) * extra), rows, 0)
 
 
 def fetch_features(mfgs: List[List[MFG]],
