@@ -1,0 +1,107 @@
+"""Headline benchmark: TGN training throughput on a REDDIT-scale stream.
+
+Mirrors the reference's headline configuration (TGN: 1 layer, fanout [10],
+recent sampling, batch 4000, dims 100/100/172 — ``gnnflow/config.py:28-43``
++ REDDIT stats: 10,984 nodes / 672,447 edges / 172-dim features) on a
+deterministic synthetic stream of the same shape (no network access for the
+real dataset).
+
+Throughput counts target nodes per second — ``total_samples += num_target
+nodes`` == 3B per iteration, as in
+``scripts/offline_edge_prediction.py:478-515``.
+
+The reference publishes no numbers (BASELINE.json ``published: {}``).
+``vs_baseline`` is computed against 200,000 samples/s — the approximate
+single-A100 TGN/REDDIT training throughput of the TGL system the reference
+builds on (TGL paper reports ~10 s/epoch for REDDIT ≈ 670k edges × 3
+samples; GNNFlow's pipelined sampler is comparable).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_SEC = 200_000.0  # est. GNNFlow/TGL, TGN-REDDIT, 1xA100
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gnnflow_tpu.data import (DstRandEdgeSampler, get_batches,
+                                  make_synthetic_dataset)
+    from gnnflow_tpu.dynamic_graph import DynamicGraph
+    from gnnflow_tpu.models.dgnn import DGNN
+    from gnnflow_tpu.train import Trainer
+
+    # REDDIT-shaped synthetic stream (10,984 nodes; 672,447 edges; 172-dim
+    # edge features).
+    num_src, num_dst, num_edges, dim_edge = 10_000, 984, 672_447, 172
+    train, val, test, full, _, ef_np = make_synthetic_dataset(
+        num_src=num_src, num_dst=num_dst, num_edges=num_edges,
+        dim_edge=dim_edge, seed=42, time_scale=4.0)
+
+    g = DynamicGraph(initial_pool_size=1 << 20, maximum_pool_size=1 << 23,
+                     mem_resource_type="hbm", minimum_block_size=62,
+                     insertion_policy="insert")
+    ingest_start = time.time()
+    # batched ingestion like the reference (ingestion_batch_size chunks)
+    step = 100_000
+    for lo in range(0, len(full), step):
+        sl = slice(lo, min(lo + step, len(full)))
+        g.add_edges(full.src[sl], full.dst[sl], full.time[sl],
+                    full.eid[sl], add_reverse=True)
+    ingest_time = time.time() - ingest_start
+
+    dg = g.device_graph()
+    ef = jnp.asarray(ef_np)
+
+    batch_size = 4000
+    model = DGNN(dim_node=0, dim_edge=dim_edge, dim_time=100,
+                 dim_embed=100, num_layers=1, num_snapshots=1, att_head=2,
+                 dropout=0.2, att_dropout=0.2, use_memory=True,
+                 dim_memory=100)
+    trainer = Trainer(model, fanouts=[10], sample_strategy="recent",
+                      lr=1e-4)
+    state = trainer.init_state(jax.random.PRNGKey(0), dg, batch_size,
+                               None, ef, num_nodes=g.max_vertex_id() + 1)
+    neg = DstRandEdgeSampler(train.dst, seed=1)
+
+    # Warmup (compile)
+    warm = next(iter(get_batches(train, batch_size, neg)))
+    for _ in range(3):
+        state, loss, _, _ = trainer.train_step(state, dg, None, ef, warm)
+    jax.block_until_ready(state.params)
+
+    # Timed: one full training epoch
+    t0 = time.time()
+    total_samples = 0
+    n_iters = 0
+    for batch in get_batches(train, batch_size, neg):
+        state, loss, _, _ = trainer.train_step(state, dg, None, ef, batch)
+        total_samples += 3 * batch.num_valid
+        n_iters += 1
+    jax.block_until_ready(state.params)
+    epoch_time = time.time() - t0
+
+    throughput = total_samples / epoch_time
+    result = {
+        "metric": "tgn_reddit_train_throughput",
+        "value": round(throughput, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(throughput / BASELINE_SAMPLES_PER_SEC, 3),
+        "extra": {
+            "epoch_time_s": round(epoch_time, 3),
+            "iters": n_iters,
+            "ingest_time_s": round(ingest_time, 3),
+            "final_loss": round(float(loss), 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,8 +90,10 @@ class Trainer:
         self.tx = optimizer if optimizer is not None else optax.adam(lr)
         self.neg_ratio = int(neg_sample_ratio)
 
-        self._train_step = jax.jit(self._step, static_argnames=("train",),
-                                   donate_argnames=("state",))
+        self._train_step = jax.jit(self._step, static_argnums=(8,),
+                                   donate_argnums=(0,))
+        self._pre_step = jax.jit(self._step_prefetched,
+                                 static_argnums=(7,), donate_argnums=(0,))
 
     # ------------------------------------------------------------------
 
@@ -132,7 +134,7 @@ class Trainer:
 
     def _step(self, state: TrainState, dg: DeviceGraph,
               node_feats, edge_feats,
-              target_nodes, ts, eids, valid, *, train: bool):
+              target_nodes, ts, eids, valid, train: bool):
         """One fused iteration.  ``target_nodes``/``ts`` are [3B] (src|dst|
         neg blocks), ``eids`` [B], ``valid`` [B] masks padded rows."""
         key, kdrop, ksample = jax.random.split(state.key, 3)
@@ -188,7 +190,56 @@ class Trainer:
                                   step=state.step + 1)
         return new_state, loss, pos[:, 0], neg[:, 0]
 
+    def _step_prefetched(self, state: TrainState, mfgs, nfs, efs, tef,
+                         eids, valid, train: bool):
+        """Model/optimizer/memory step over pre-sampled MFGs with
+        pre-fetched (cache-supplied) features — the large-feature-table
+        path where sampling + cache fetch happen outside jit."""
+        key, kdrop = jax.random.split(state.key)
+        mem_input = None
+        if self.model.use_memory:
+            mem_input = memory_lib.prepare_input(state.memory, mfgs[0][0])
+
+        def loss_fn(params):
+            pos, neg, last = self.model.apply(
+                {"params": params}, mfgs, nfs, efs, mem_input,
+                train=train, rngs={"dropout": kdrop})
+            w = valid.astype(jnp.float32)[:, None]
+            denom = jnp.maximum(jnp.sum(w), 1.0)
+            loss = (jnp.sum(bce_with_logits(pos, jnp.ones_like(pos)) * w)
+                    + jnp.sum(bce_with_logits(neg, jnp.zeros_like(neg))
+                              * w)) / denom
+            return loss, (pos, neg, last)
+
+        if train:
+            (loss, (pos, neg, last)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+        else:
+            loss, (pos, neg, last) = loss_fn(state.params)
+            params, opt_state = state.params, state.opt_state
+
+        memory = state.memory
+        if self.model.use_memory:
+            memory = memory_lib.update_mem_mail(
+                memory, last["last_updated_nid"],
+                last["last_updated_memory"], last["last_updated_ts"],
+                edge_feats=tef, valid=valid,
+                neg_sample_ratio=self.neg_ratio)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  memory=memory, key=key,
+                                  step=state.step + 1)
+        return new_state, loss, pos[:, 0], neg[:, 0]
+
     # ------------------------------------------------------------------
+
+    def train_step_prefetched(self, state, mfgs, nfs, efs, tef, batch,
+                              train=True):
+        return self._pre_step(
+            state, mfgs, nfs, efs, tef,
+            jnp.asarray(batch.eids, jnp.int32), _valid_mask(batch), train)
 
     def train_step(self, state, dg, node_feats, edge_feats, batch):
         return self._train_step(
@@ -196,7 +247,7 @@ class Trainer:
             jnp.asarray(batch.target_nodes, jnp.int32),
             jnp.asarray(batch.ts, jnp.float32),
             jnp.asarray(batch.eids, jnp.int32),
-            _valid_mask(batch), train=True)
+            _valid_mask(batch), True)
 
     def eval_step(self, state, dg, node_feats, edge_feats, batch):
         return self._train_step(
@@ -204,7 +255,7 @@ class Trainer:
             jnp.asarray(batch.target_nodes, jnp.int32),
             jnp.asarray(batch.ts, jnp.float32),
             jnp.asarray(batch.eids, jnp.int32),
-            _valid_mask(batch), train=False)
+            _valid_mask(batch), False)
 
 
 def _valid_mask(batch) -> jax.Array:
