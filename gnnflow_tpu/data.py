@@ -180,8 +180,20 @@ def make_synthetic_dataset(
     val_end = int(num_edges * (train_frac + val_frac))
 
     num_nodes = num_src + num_dst if bipartite else max(num_src, num_dst)
-    node_feats = (rng.randn(num_nodes, dim_node).astype(np.float32)
-                  if dim_node > 0 else None)
+    if dim_node > 0:
+        # informative node features: dst nodes get identity embeddings,
+        # src nodes the mean embedding of their preferred dsts (so the
+        # src·dst product carries link signal for static models)
+        dst_base = rng.randn(num_dst, dim_node).astype(np.float32)
+        src_base = dst_base[pref].mean(axis=1)
+        noise = 0.1 * rng.randn(num_nodes, dim_node).astype(np.float32)
+        if bipartite:
+            node_feats = np.concatenate([src_base, dst_base]) + noise
+        else:
+            node_feats = noise
+            node_feats[:num_src] += src_base[:num_src]
+    else:
+        node_feats = None
     # Edge features correlated with the dst identity so they carry signal.
     if dim_edge > 0:
         dst_emb = rng.randn(num_dst, dim_edge).astype(np.float32)

@@ -120,7 +120,7 @@ def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
         r = jnp.minimum((u * nc).astype(jnp.int32),
                         jnp.maximum(nc - 1, 0))
         pick = e_idx[:, None] - 1 - r
-        mask = nc > 0
+        mask = jnp.broadcast_to(nc > 0, (B, fanout))
 
     idx = jnp.clip(off[:, None] + pick, 0, g.e_dst.shape[0] - 1)
     nbr_nids = jnp.where(mask, g.e_dst[idx], INVALID_NID)
