@@ -118,10 +118,14 @@ class Trainer:
             memory = memory_lib.init_memory(
                 num_nodes, self.model.dim_memory, self.model.dim_edge)
             mem_input = memory_lib.prepare_input(memory, mfgs[0][0])
-        params = self.model.init(
-            {"params": key, "dropout": key},
-            mfgs, nfs, efs, mem_input, train=True)["params"]
-        opt_state = self.tx.init(params)
+        # jit the whole init: eager op-by-op dispatch is pathologically
+        # slow on remote-compile device tunnels
+        init_fn = jax.jit(
+            lambda k, mfgs, nfs, efs, mem: self.model.init(
+                {"params": k, "dropout": k}, mfgs, nfs, efs, mem,
+                train=True))
+        params = init_fn(key, mfgs, nfs, efs, mem_input)["params"]
+        opt_state = jax.jit(self.tx.init)(params)
         return TrainState(params=params, opt_state=opt_state,
                           memory=memory, key=key,
                           step=jnp.zeros((), jnp.int32))

@@ -16,6 +16,7 @@ Datasets: reads the reference's ``edges.csv`` format from ``--data-dir``;
 deterministic synthetic interaction stream of comparable shape.
 """
 import argparse
+import faulthandler
 import logging
 import math
 import os
@@ -60,6 +61,9 @@ args = parser.parse_args()
 
 logging.basicConfig(level=logging.INFO,
                     format="%(asctime)s %(levelname)s %(message)s")
+if os.environ.get("GNNFLOW_WATCHDOG"):
+    faulthandler.dump_traceback_later(int(os.environ["GNNFLOW_WATCHDOG"]),
+                                      repeat=True)
 checkpoint_path = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..",
     f"{args.model}.ckpt")
@@ -127,8 +131,12 @@ def main():
     nfj = jnp.asarray(node_feats) if node_feats is not None else None
     efj = jnp.asarray(edge_feats) if edge_feats is not None else None
 
+    logging.info("initializing model/optimizer state (first compile)...")
+    t0 = time.time()
     state = trainer.init_state(jax.random.PRNGKey(args.seed), dg,
                                batch_size, nfj, efj, num_nodes=num_nodes)
+    jax.block_until_ready(state.params)
+    logging.info("init_state done in %.1fs", time.time() - t0)
 
     if args.num_devices > 1:
         from gnnflow_tpu.parallel import make_mesh, shard_trainer
@@ -184,6 +192,7 @@ def main():
     early_stopper = EarlyStopMonitor()
     import gnnflow_tpu.models.memory as memory_lib
 
+    logging.info("starting training loop")
     for epoch in range(args.epoch):
         epoch_start = time.time()
         total_samples = 0
