@@ -205,7 +205,7 @@ def sample_layer_partitioned(
         out_specs=MFG(root_nids=repl, root_ts=repl, nbr_nids=repl,
                       nbr_ts=repl, nbr_dts=repl, nbr_eids=repl,
                       nbr_mask=repl),
-        check_rep=False)
+        check_vma=False)
     return fn(pg.row_off, pg.row_len, pg.e_dst, pg.e_ts, pg.e_eid, pt,
               roots, root_ts, key)
 
