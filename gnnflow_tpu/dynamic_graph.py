@@ -260,10 +260,12 @@ class DynamicGraph:
         self._node_seen[dst] = True
         self._src_seen[src] = True
 
-        # Group by src, time-sorted within group; lexsort is stable so equal
-        # (src, ts) pairs keep arrival order (matches the reference's
-        # group-then-stable-sort, dynamic_graph.cu:105-128).
-        order = np.lexsort((ts, src))
+        # Group by src, time-sorted within group; the sort is stable so
+        # equal (src, ts) pairs keep arrival order (matches the reference's
+        # group-then-stable-sort, dynamic_graph.cu:105-128).  Runs in the
+        # native helper when built (csrc/ingest.cc), numpy otherwise.
+        from gnnflow_tpu import csrc as _csrc
+        order = _csrc.group_sort_edges(src, ts)
         src, dst, ts, eids = src[order], dst[order], ts[order], eids[order]
         uniq, first_idx, counts = np.unique(
             src, return_index=True, return_counts=True)
@@ -319,12 +321,9 @@ class DynamicGraph:
             broken = np.flatnonzero(had_old)[first_new_ts < last_old_ts]
             for j in broken:
                 v = uniq[j]
-                o, l = int(self._row_off[v]), int(self._row_len[v])
-                sl = slice(o, o + l)
-                perm = np.argsort(self._ts[sl], kind="stable")
-                self._dst[sl] = self._dst[sl][perm]
-                self._ts[sl] = self._ts[sl][perm]
-                self._eid[sl] = self._eid[sl][perm]
+                _csrc.resort_range(self._ts, self._dst, self._eid,
+                                   int(self._row_off[v]),
+                                   int(self._row_len[v]))
 
         self._dirty = True
 
@@ -347,16 +346,11 @@ class DynamicGraph:
             return 0
         offs = self._row_off[active]
         lens = self._row_len[active]
-        # vectorized per-range lower bound for `timestamp`
-        lo = np.zeros(len(active), dtype=np.int64)
-        hi = lens.copy()
-        while (lo < hi).any():
-            mid = (lo + hi) // 2
-            go = self._ts[offs + np.minimum(mid, lens - 1)] < timestamp
-            act = lo < hi
-            lo = np.where(act & go, mid + 1, lo)
-            hi = np.where(act & ~go, mid, hi)
-        k = lo  # edges to evict per vertex
+        # per-range lower bound for `timestamp` (native when built)
+        from gnnflow_tpu import csrc as _csrc
+        k = _csrc.ranged_lower_bound(
+            self._ts, offs, lens,
+            np.float32(timestamp))  # edges to evict per vertex
         total = int(k.sum())
         if total == 0:
             return 0
