@@ -106,11 +106,7 @@ class Trainer:
         b3 = batch_size * (2 + self.neg_ratio)
         roots = jnp.zeros((b3,), jnp.int32)
         ts = jnp.zeros((b3,), jnp.float32)
-        mfgs = sample_hops(
-            dg, roots, ts, fanouts=self.fanouts, strategy=self.strategy,
-            num_snapshots=self.num_snapshots, window=self.window,
-            prop_time=self.prop_time,
-            search_iters=self._iters(dg), key=key)
+        mfgs = self._sample(dg, roots, ts, key)
         nfs, efs = fetch_features(mfgs, node_feats, edge_feats)
         mem_input = None
         memory = None
@@ -131,8 +127,16 @@ class Trainer:
                           step=jnp.zeros((), jnp.int32))
 
     @staticmethod
-    def _iters(dg: DeviceGraph) -> int:
-        return max(1, int(dg.e_ts.shape[0]).bit_length())
+    def _iters(dg) -> int:
+        return max(1, int(dg.e_ts.shape[-1]).bit_length())
+
+    def _sample(self, dg, roots, ts, key):
+        """Sampling hook; overridden by :class:`PartitionedTrainer`."""
+        return sample_hops(
+            dg, roots, ts, fanouts=self.fanouts, strategy=self.strategy,
+            num_snapshots=self.num_snapshots, window=self.window,
+            prop_time=self.prop_time, search_iters=self._iters(dg),
+            key=key)
 
     # ------------------------------------------------------------------
 
@@ -144,12 +148,8 @@ class Trainer:
         key, kdrop, ksample = jax.random.split(state.key, 3)
         sample_ts = (jnp.full_like(ts, np.float32(3.4e38))
                      if self.is_static else ts)
-        mfgs = sample_hops(
-            dg, target_nodes.astype(jnp.int32), sample_ts,
-            fanouts=self.fanouts, strategy=self.strategy,
-            num_snapshots=self.num_snapshots, window=self.window,
-            prop_time=self.prop_time, search_iters=self._iters(dg),
-            key=ksample)
+        mfgs = self._sample(dg, target_nodes.astype(jnp.int32), sample_ts,
+                            ksample)
         nfs, efs = fetch_features(mfgs, node_feats, edge_feats)
         mem_input = None
         if self.model.use_memory:
@@ -244,6 +244,13 @@ class Trainer:
         return self._pre_step(
             state, mfgs, nfs, efs, tef,
             jnp.asarray(batch.eids, jnp.int32), _valid_mask(batch), train)
+
+    def train_step_arrays(self, state, dg, node_feats, edge_feats,
+                          target_nodes, ts, eids, valid, train=True):
+        """Direct array-based step (no per-call host conversion) — use
+        with pre-staged device batches for maximum throughput."""
+        return self._train_step(state, dg, node_feats, edge_feats,
+                                target_nodes, ts, eids, valid, train)
 
     def train_step(self, state, dg, node_feats, edge_feats, batch):
         return self._train_step(

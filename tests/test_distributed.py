@@ -161,3 +161,44 @@ def test_sharded_memory_in_train_step():
         assert np.isfinite(float(loss))
         if i >= 2:
             break
+
+
+def test_partitioned_trainer_end_to_end():
+    """Graph partitioning + sharded memory/features + DP batch, one jit."""
+    from gnnflow_tpu.data import DstRandEdgeSampler, get_batches
+    from gnnflow_tpu.models.dgnn import DGNN
+    from gnnflow_tpu.parallel.partitioned_trainer import PartitionedTrainer
+    from gnnflow_tpu.parallel import ShardedTable, shard_memory_state
+
+    full, nf, ef = _dataset(num_edges=2500)
+    mesh = make_mesh(8)
+    part = get_partitioner("hash", 8)
+    pg = PartitionedDynamicGraph(8, mesh=mesh, **GRAPH_KW)
+    src, dst = (np.concatenate([full.src, full.dst]),
+                np.concatenate([full.dst, full.src]))
+    ts2 = np.concatenate([full.time, full.time])
+    eid2 = np.concatenate([full.eid, full.eid])
+    parts, _ = part.partition(src, dst, ts2, eid2)
+    pg.add_partitioned_edges(parts)
+    pg.set_partition_table(part.get_partition_table())
+
+    model = DGNN(dim_node=0, dim_edge=8, dim_time=8, dim_embed=16,
+                 num_layers=1, num_snapshots=1, att_head=2, dropout=0.0,
+                 att_dropout=0.0, use_memory=True, dim_memory=16)
+    trainer = PartitionedTrainer(model, mesh, fanouts=[5], lr=1e-3)
+    B = 160
+    dg = pg.device_graph()
+    efj = ShardedTable(ef, mesh).array
+    state = trainer.init_state(jax.random.PRNGKey(0), dg, B, None, efj,
+                               num_nodes=pg.max_vertex_id() + 1)
+    state = state.replace(memory=shard_memory_state(state.memory, mesh))
+    neg = DstRandEdgeSampler(full.dst, seed=1)
+    train = full[: int(0.7 * len(full))]
+    losses = []
+    for i, batch in enumerate(get_batches(train, B, neg)):
+        state, loss, _, _ = trainer.train_step(state, dg, None, efj,
+                                               batch)
+        losses.append(float(loss))
+        if i >= 3:
+            break
+    assert np.isfinite(losses).all()
