@@ -83,12 +83,14 @@ def main():
             jnp.asarray(valid),
             3 * batch.num_valid))
 
-    # Warmup (compile)
-    tn, ts_, eids, valid, _ = staged[0]
-    for _ in range(3):
+    # Warmup: compile + one full untimed epoch (remote-compile backends
+    # have per-buffer-pattern warmup costs).  NB: timings must end with a
+    # real value fetch — block_until_ready alone can return early on
+    # tunneled device runtimes.
+    for tn, ts_, eids, valid, _ in staged:
         state, loss, _, _ = trainer.train_step_arrays(
             state, dg, None, ef, tn, ts_, eids, valid)
-    jax.block_until_ready(state.params)
+    float(loss)
 
     # Timed: one full training epoch
     t0 = time.time()
@@ -99,7 +101,7 @@ def main():
             state, dg, None, ef, tn, ts_, eids, valid)
         total_samples += n
         n_iters += 1
-    jax.block_until_ready(state.params)
+    float(loss)
     epoch_time = time.time() - t0
 
     throughput = total_samples / epoch_time

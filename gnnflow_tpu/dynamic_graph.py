@@ -47,7 +47,9 @@ class DeviceGraph(struct.PyTreeNode):
     """Device-resident view of the store; consumed by the jittable sampler.
 
     All arrays have power-of-two padded capacities so jit caches survive
-    incremental growth.
+    incremental growth.  ``search_iters`` (static metadata) bounds the
+    binary search to the maximum vertex degree — it only changes when the
+    max degree crosses a power of two, so jit caches stay warm.
     """
 
     row_off: jax.Array  # [N] int32  — start slot of each vertex's region
@@ -55,6 +57,7 @@ class DeviceGraph(struct.PyTreeNode):
     e_dst: jax.Array    # [C] int32  — neighbor ids, ts-sorted per vertex
     e_ts: jax.Array     # [C] float32
     e_eid: jax.Array    # [C] int32
+    search_iters: int = struct.field(pytree_node=False, default=32)
 
     @property
     def node_capacity(self) -> int:
@@ -149,6 +152,7 @@ class DynamicGraph:
         self._num_unique_eids = 0
         self._num_insertions = 0
         self._num_offloaded = 0
+        self._max_degree = 0
 
         # Lazy device view.
         self._device_graph: Optional[DeviceGraph] = None
@@ -312,6 +316,7 @@ class DynamicGraph:
         self._ts[write_pos] = ts
         self._eid[write_pos] = eids
         self._row_len[uniq] = new_len
+        self._max_degree = max(self._max_degree, int(new_len.max()))
 
         # --- restore sortedness where the batch predates stored edges ---
         had_old = old_len > 0
@@ -489,6 +494,7 @@ class DynamicGraph:
             e_dst=put(self._dst.astype(NID_DTYPE)[:c]),
             e_ts=put(self._ts.astype(TS_DTYPE)[:c]),
             e_eid=put(self._eid.astype(EID_DTYPE)[:c]),
+            search_iters=max(1, self._max_degree.bit_length()),
         )
         del n
         self._dirty = False

@@ -43,7 +43,11 @@ from gnnflow_tpu.dynamic_graph import DeviceGraph
 def _lower_bound(e_ts: jax.Array, off: jax.Array, ln: jax.Array,
                  target: jax.Array, iters: int) -> jax.Array:
     """First index ``i`` in ``[0, ln)`` with ``e_ts[off+i] >= target``,
-    vectorized over a batch of (off, ln, target) triples."""
+    vectorized over a batch of (off, ln, target) triples.
+
+    ``off``/``ln``/``target`` may carry an extra leading dim to search
+    several targets per row in one fused loop (one gather per iteration
+    regardless of how many searches run)."""
     lo = jnp.zeros_like(ln)
     hi = ln
 
@@ -103,8 +107,19 @@ def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
     start_ts, end_ts = snapshot_window(
         root_ts, snapshot_idx, num_snapshots, window)
 
-    s_idx = _lower_bound(g.e_ts, off, ln, start_ts, search_iters)
-    e_idx = _lower_bound(g.e_ts, off, ln, end_ts, search_iters)
+    if num_snapshots == 1 and abs(window) < 1e-6:
+        # full-history window: start is always index 0 (the TGN/TGAT
+        # default) — one search instead of two
+        s_idx = jnp.zeros_like(ln)
+        e_idx = _lower_bound(g.e_ts, off, ln, end_ts, search_iters)
+    else:
+        # fuse both searches into one loop: a single [2, B] gather per
+        # iteration instead of two sequential [B] gathers
+        both = _lower_bound(
+            g.e_ts,
+            jnp.stack([off, off]), jnp.stack([ln, ln]),
+            jnp.stack([start_ts, end_ts]), search_iters)
+        s_idx, e_idx = both[0], both[1]
     num_candidates = e_idx - s_idx  # [B]
 
     if strategy == "recent":

@@ -58,10 +58,9 @@ class TemporalSampler:
         return sub
 
     def _search_iters(self) -> int:
-        # Enough binary-search steps to cover the largest vertex region;
-        # pool capacity bounds region size, and capacities are pow2 so this
-        # only changes (and recompiles) when the pool itself grows.
-        return max(1, int(self._graph._pool_cap).bit_length())
+        # Enough binary-search steps to cover the largest vertex degree;
+        # changes (and recompiles) only at power-of-two boundaries.
+        return max(1, int(self._graph._max_degree).bit_length())
 
     def sample(self, target_vertices: np.ndarray,
                timestamps: np.ndarray) -> List[List[MFG]]:

@@ -128,7 +128,8 @@ class Trainer:
 
     @staticmethod
     def _iters(dg) -> int:
-        return max(1, int(dg.e_ts.shape[-1]).bit_length())
+        return getattr(dg, "search_iters", None) or \
+            max(1, int(dg.e_ts.shape[-1]).bit_length())
 
     def _sample(self, dg, roots, ts, key):
         """Sampling hook; overridden by :class:`PartitionedTrainer`."""
@@ -251,6 +252,26 @@ class Trainer:
         with pre-staged device batches for maximum throughput."""
         return self._train_step(state, dg, node_feats, edge_feats,
                                 target_nodes, ts, eids, valid, train)
+
+    def train_steps_scan(self, state, dg, node_feats, edge_feats,
+                         target_nodes, ts, eids, valid):
+        """Run a whole sequence of training steps in ONE dispatch via
+        ``lax.scan`` (batch arrays carry a leading step axis).  This is
+        the TPU answer to the reference's sampling/training software
+        pipeline: zero per-step host involvement.
+
+        Returns ``(state, losses[K])``."""
+        if not hasattr(self, "_scan_step"):
+            def run(state, dg, nf, ef, tn, ts, eids, valid):
+                def body(carry, xs):
+                    new_state, loss, _, _ = self._step(
+                        carry, dg, nf, ef, *xs, True)
+                    return new_state, loss
+                return jax.lax.scan(body, state, (tn, ts, eids, valid))
+
+            self._scan_step = jax.jit(run, donate_argnums=(0,))
+        return self._scan_step(state, dg, node_feats, edge_feats,
+                               target_nodes, ts, eids, valid)
 
     def train_step(self, state, dg, node_feats, edge_feats, batch):
         return self._train_step(
