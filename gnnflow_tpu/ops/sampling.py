@@ -40,6 +40,55 @@ from gnnflow_tpu.common import INVALID_NID, MFG, NID_DTYPE, TS_DTYPE
 from gnnflow_tpu.dynamic_graph import DeviceGraph
 
 
+_LANES = 128  # TPU lane width: gathers fetch aligned 128-wide rows
+
+
+def _rows(arr: jax.Array) -> jax.Array:
+    """View a flat pool as [C/128, 128] (pool capacities are pow2>=1024)."""
+    return arr.reshape(-1, _LANES)
+
+
+def _gather_scalars(arr: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather ``arr[idx]`` for flat int indices of any shape.
+
+    TPU scalar gathers cost ~16ns/element; fetching the aligned 128-lane
+    row each index lives in and selecting with a one-hot mask is ~10x
+    faster (wide-slice gather + VPU reduce)."""
+    shape = idx.shape
+    flat = idx.reshape(-1)
+    row = flat // _LANES
+    lane = flat - row * _LANES
+    rows = _rows(arr)[row]                                  # [M, 128]
+    onehot = lane[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, _LANES), 1)
+    out = jnp.sum(jnp.where(onehot, rows, 0), axis=-1, dtype=arr.dtype) \
+        if jnp.issubdtype(arr.dtype, jnp.integer) \
+        else jnp.sum(jnp.where(onehot, rows, 0), axis=-1)
+    return out.reshape(shape).astype(arr.dtype)
+
+
+def _gather_windows(arr: jax.Array, start: jax.Array,
+                    picks: jax.Array) -> jax.Array:
+    """Gather ``arr[picks]`` where ``picks[b, f]`` all lie within
+    ``[start[b], start[b] + width)`` for ``width <= 128``.
+
+    One [B, 2, 128] aligned row-gather per array + one-hot selection —
+    the contiguous-window fast path for recent sampling (slots
+    ``[e_idx-F, e_idx)`` are adjacent in the time-sorted region)."""
+    B, F = picks.shape
+    row0 = jnp.clip(start // _LANES, 0, arr.shape[0] // _LANES - 2)
+    rows = _rows(arr)[row0[:, None] + jnp.arange(2)[None, :]]  # [B,2,128]
+    win = rows.reshape(B, 2 * _LANES)
+    sel = jnp.clip(picks - row0[:, None] * _LANES, 0, 2 * _LANES - 1)
+    onehot = sel[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 2 * _LANES), 2)
+    return jnp.sum(jnp.where(onehot, win[:, None, :], 0), axis=-1,
+                   dtype=arr.dtype) \
+        if jnp.issubdtype(arr.dtype, jnp.integer) \
+        else jnp.sum(jnp.where(onehot, win[:, None, :], 0),
+                     axis=-1).astype(arr.dtype)
+
+
 def _lower_bound(e_ts: jax.Array, off: jax.Array, ln: jax.Array,
                  target: jax.Array, iters: int) -> jax.Array:
     """First index ``i`` in ``[0, ln)`` with ``e_ts[off+i] >= target``,
@@ -56,7 +105,7 @@ def _lower_bound(e_ts: jax.Array, off: jax.Array, ln: jax.Array,
         active = lo < hi
         mid = (lo + hi) // 2
         idx = jnp.clip(off + mid, 0, e_ts.shape[0] - 1)
-        go_right = e_ts[idx] < target
+        go_right = _gather_scalars(e_ts, idx) < target
         lo = jnp.where(active & go_right, mid + 1, lo)
         hi = jnp.where(active & ~go_right, mid, hi)
         return lo, hi
@@ -123,10 +172,19 @@ def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
     num_candidates = e_idx - s_idx  # [B]
 
     if strategy == "recent":
-        # slot k takes the k-th most recent in-window edge
+        # slot k takes the k-th most recent in-window edge; picks are a
+        # contiguous run [e_idx-F, e_idx) -> aligned-window fast gather
         k = jnp.arange(fanout, dtype=jnp.int32)[None, :]           # [1,F]
         pick = e_idx[:, None] - 1 - k                              # [B,F]
         mask = pick >= s_idx[:, None]
+        idx = jnp.clip(off[:, None] + pick, 0, g.e_dst.shape[0] - 1)
+        win_start = off + jnp.maximum(e_idx - fanout, 0)
+        if fanout <= 128:
+            dsts = _gather_windows(g.e_dst, win_start, idx)
+            eids_ = _gather_windows(g.e_eid, win_start, idx)
+            tss = _gather_windows(g.e_ts, win_start, idx)
+        else:
+            dsts, eids_, tss = g.e_dst[idx], g.e_eid[idx], g.e_ts[idx]
     else:
         if key is None:
             raise ValueError("uniform sampling requires a PRNG key")
@@ -136,11 +194,14 @@ def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
                         jnp.maximum(nc - 1, 0))
         pick = e_idx[:, None] - 1 - r
         mask = jnp.broadcast_to(nc > 0, (B, fanout))
+        idx = jnp.clip(off[:, None] + pick, 0, g.e_dst.shape[0] - 1)
+        dsts = _gather_scalars(g.e_dst, idx)
+        eids_ = _gather_scalars(g.e_eid, idx)
+        tss = _gather_scalars(g.e_ts, idx)
 
-    idx = jnp.clip(off[:, None] + pick, 0, g.e_dst.shape[0] - 1)
-    nbr_nids = jnp.where(mask, g.e_dst[idx], INVALID_NID)
-    nbr_eids = jnp.where(mask, g.e_eid[idx], 0)
-    edge_ts = jnp.where(mask, g.e_ts[idx], 0.0)
+    nbr_nids = jnp.where(mask, dsts, INVALID_NID)
+    nbr_eids = jnp.where(mask, eids_, 0)
+    edge_ts = jnp.where(mask, tss, 0.0)
     nbr_dts = jnp.where(mask, root_ts[:, None] - edge_ts, 0.0)
     nbr_ts = jnp.where(
         mask,
