@@ -26,30 +26,51 @@ from gnnflow_tpu.ops.segment import scatter_rows, unique_keep_last_mask
 
 
 class MemoryState(struct.PyTreeNode):
-    """Per-node memory state (``memory.py:58-66``)."""
+    """Per-node memory state (``memory.py:58-66``).
 
-    node_memory: jax.Array     # [N, dim_memory]
-    node_memory_ts: jax.Array  # [N]
-    mailbox: jax.Array         # [N, 2*dim_memory + dim_edge]
-    mailbox_ts: jax.Array      # [N]
+    Packed as ONE row table ``data[N, dim_memory+1+dim_raw+1]`` holding
+    ``[mem | mem_ts | mail | mail_ts]`` per node — exactly the layout the
+    reference uses for partitioned memory rows (``kvstore.py:159-177``).
+    On TPU this turns the per-batch memory pull into a single row gather
+    (row gathers are per-row latency-bound, so fewer gathers >> narrower
+    rows); the four logical tensors are column views."""
+
+    data: jax.Array                 # [N, dim_memory + 1 + dim_raw + 1]
+    dim_memory: int = struct.field(pytree_node=False)
 
     @property
     def num_nodes(self) -> int:
-        return self.node_memory.shape[0]
+        return self.data.shape[0]
 
     @property
-    def dim_memory(self) -> int:
-        return self.node_memory.shape[1]
+    def dim_raw(self) -> int:
+        return self.data.shape[1] - self.dim_memory - 2
+
+    # -- column views (the reference's four tensors) --------------------
+
+    @property
+    def node_memory(self) -> jax.Array:
+        return self.data[:, : self.dim_memory]
+
+    @property
+    def node_memory_ts(self) -> jax.Array:
+        return self.data[:, self.dim_memory]
+
+    @property
+    def mailbox(self) -> jax.Array:
+        return self.data[:, self.dim_memory + 1: -1]
+
+    @property
+    def mailbox_ts(self) -> jax.Array:
+        return self.data[:, -1]
 
 
 def init_memory(num_nodes: int, dim_memory: int, dim_edge: int,
                 dtype=jnp.float32) -> MemoryState:
     dim_raw = 2 * dim_memory + dim_edge
     return MemoryState(
-        node_memory=jnp.zeros((num_nodes, dim_memory), dtype),
-        node_memory_ts=jnp.zeros((num_nodes,), dtype),
-        mailbox=jnp.zeros((num_nodes, dim_raw), dtype),
-        mailbox_ts=jnp.zeros((num_nodes,), dtype))
+        data=jnp.zeros((num_nodes, dim_memory + 1 + dim_raw + 1), dtype),
+        dim_memory=dim_memory)
 
 
 def reset_memory(state: MemoryState) -> MemoryState:
@@ -61,12 +82,7 @@ def resize_memory(state: MemoryState, num_nodes: int) -> MemoryState:
     if num_nodes <= state.num_nodes:
         return state
     pad = num_nodes - state.num_nodes
-
-    def grow(x):
-        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, widths)
-
-    return jax.tree.map(grow, state)
+    return state.replace(data=jnp.pad(state.data, [(0, pad), (0, 0)]))
 
 
 def backup_memory(state: MemoryState) -> Dict:
@@ -79,25 +95,30 @@ def backup_memory(state: MemoryState) -> Dict:
 
 
 def restore_memory(backup: Dict) -> MemoryState:
-    return MemoryState(
-        node_memory=jnp.asarray(backup["node_memory"]),
-        node_memory_ts=jnp.asarray(backup["node_memory_ts"]),
-        mailbox=jnp.asarray(backup["mailbox"]),
-        mailbox_ts=jnp.asarray(backup["mailbox_ts"]))
+    mem = jnp.asarray(backup["node_memory"])
+    data = jnp.concatenate([
+        mem,
+        jnp.asarray(backup["node_memory_ts"])[:, None],
+        jnp.asarray(backup["mailbox"]),
+        jnp.asarray(backup["mailbox_ts"])[:, None]], axis=1)
+    return MemoryState(data=data, dim_memory=mem.shape[1])
 
 
 def prepare_input(state: MemoryState, mfg: MFG) -> Dict[str, jax.Array]:
     """Pull memory rows for the MFG's node set (``memory.py:156-190``).
 
-    The reference uniquifies before pulling purely to reduce transfer; a
-    direct gather yields identical values (pull happens before any write)."""
+    The reference uniquifies before pulling purely to reduce RPC traffic;
+    a direct gather yields identical values (pull happens before any
+    write), and the packed layout makes it ONE row gather."""
     nids = mfg.all_nodes()
     safe = jnp.clip(nids, 0, state.num_nodes - 1)
+    rows = state.data[safe]
+    dm = state.dim_memory
     return {
-        "mem": state.node_memory[safe],
-        "mem_ts": state.node_memory_ts[safe],
-        "mail": state.mailbox[safe],
-        "mail_ts": state.mailbox_ts[safe],
+        "mem": rows[:, :dm],
+        "mem_ts": rows[:, dm],
+        "mail": rows[:, dm + 1: -1],
+        "mail_ts": rows[:, -1],
     }
 
 
@@ -247,19 +268,21 @@ def update_mem_mail(state: MemoryState,
     valid_block = jnp.concatenate([valid, valid]) & (
         last_updated_nid[:2 * b] >= 0)
 
+    dm = state.dim_memory
+    n = state.num_nodes
     win_mail = unique_keep_last_mask(nid, valid_inter)
-    new_mailbox = scatter_rows(state.mailbox, nid, mail, win_mail)
-    new_mailbox_ts = scatter_rows(state.mailbox_ts, nid, mail_ts, win_mail)
+    mail_payload = jnp.concatenate([mail, mail_ts[:, None]], axis=1)
+    data = state.data.at[
+        jnp.where(win_mail, nid, n), dm + 1:].set(
+        mail_payload, mode="drop")
 
     nid_mem = last_updated_nid[:2 * b]
     mem_vals = last_updated_memory[:2 * b]
     mem_ts = last_updated_ts[:2 * b]
     win_mem = unique_keep_last_mask(nid_mem, valid_block)
-    new_memory = scatter_rows(state.node_memory, nid_mem, mem_vals, win_mem)
-    new_memory_ts = scatter_rows(state.node_memory_ts, nid_mem, mem_ts,
-                                 win_mem)
+    mem_payload = jnp.concatenate([mem_vals, mem_ts[:, None]], axis=1)
+    data = data.at[
+        jnp.where(win_mem, nid_mem, n), : dm + 1].set(
+        mem_payload, mode="drop")
 
-    return MemoryState(node_memory=new_memory,
-                       node_memory_ts=new_memory_ts,
-                       mailbox=new_mailbox,
-                       mailbox_ts=new_mailbox_ts)
+    return state.replace(data=data)

@@ -142,7 +142,7 @@ def test_memory_padded_rows_ignored():
 
 def test_memory_backup_restore_resize():
     state = memory_lib.init_memory(4, 2, 1)
-    state = state.replace(node_memory=state.node_memory.at[1].set(3.0))
+    state = state.replace(data=state.data.at[1, :2].set(3.0))
     bk = memory_lib.backup_memory(state)
     restored = memory_lib.restore_memory(bk)
     np.testing.assert_allclose(np.asarray(restored.node_memory[1]), 3.0)
