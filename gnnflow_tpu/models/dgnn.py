@@ -57,8 +57,11 @@ class DGNN(nn.Module):
     use_memory: bool
     dim_memory: Optional[int] = None
     memory_updater: str = "gru"   # "gru" | "transformer" (APAN)
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16" mixed precision
 
     def setup(self):
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype \
+            else None
         if self.use_memory:
             assert self.num_snapshots == 1, \
                 "memory is not supported for multiple snapshots"
@@ -66,7 +69,7 @@ class DGNN(nn.Module):
             if self.memory_updater == "gru":
                 self.updater = GRUMemoryUpdater(
                     self.dim_node, self.dim_edge, self.dim_time,
-                    self.dim_embed, self.dim_memory)
+                    self.dim_embed, self.dim_memory, dtype=cdt)
             elif self.memory_updater == "transformer":
                 self.updater = TransformerMemoryUpdater(
                     self.dim_node, self.dim_edge, self.dim_time,
@@ -88,6 +91,7 @@ class DGNN(nn.Module):
                     num_head=self.att_head,
                     dropout=self.dropout,
                     att_dropout=self.att_dropout,
+                    dtype=cdt,
                     name=f"l{l}h{h}")
         self.layers = layers
 

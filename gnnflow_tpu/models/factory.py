@@ -45,5 +45,6 @@ def build_model(name: str, model_config: dict, dim_node: int,
             att_dropout=cfg.get("att_dropout", 0.0),
             use_memory=cfg.get("use_memory", False),
             dim_memory=cfg.get("dim_memory"),
-            memory_updater=cfg.get("memory_updater", "gru"))
+            memory_updater=cfg.get("memory_updater", "gru"),
+            compute_dtype=cfg.get("compute_dtype"))
     return model, sampler_kwargs

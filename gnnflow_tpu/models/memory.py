@@ -136,24 +136,28 @@ class GRUMemoryUpdater(nn.Module):
     dim_time: int
     dim_embed: int
     dim_memory: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, mfg: MFG, mem_input: Dict[str, jax.Array],
                  node_feats: Optional[jax.Array] = None
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        mail = mem_input["mail"]
-        mem = mem_input["mem"]
+        cdt = self.dtype or jnp.float32
+        mail = mem_input["mail"].astype(cdt)
+        mem = mem_input["mem"].astype(cdt)
         all_ts = mfg.all_ts()
 
         x = mail
         if self.dim_time > 0:
             tf = TimeEncode(self.dim_time)(all_ts - mem_input["mem_ts"])
-            x = jnp.concatenate([mail, tf], axis=-1)
+            x = jnp.concatenate([mail, tf.astype(cdt)], axis=-1)
 
         updated = nn.GRUCell(
             features=self.dim_memory,
+            dtype=self.dtype,
             kernel_init=nn.initializers.variance_scaling(
                 1.0 / 3.0, "fan_in", "uniform"))(mem, x)[0]
+        updated = updated.astype(jnp.float32)
 
         num_dst = mfg.num_dst
         last_updated = {

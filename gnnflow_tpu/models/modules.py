@@ -32,10 +32,14 @@ def torch_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):
 
 
 class Linear(nn.Module):
-    """nn.Dense with torch-default initialization."""
+    """nn.Dense with torch-default initialization.
+
+    ``dtype`` selects the computation dtype (mixed precision: params stay
+    float32, activations/matmul run in e.g. bfloat16)."""
 
     features: int
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -43,12 +47,17 @@ class Linear(nn.Module):
         # fan_in == 0 is legal (zero-width dummy features, layers.py:111-137)
         kinit = torch_kernel_init if fan_in > 0 else nn.initializers.zeros
         kernel = self.param("kernel", kinit, (fan_in, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = x @ kernel
         if self.use_bias:
             bias = self.param(
                 "bias",
                 lambda k, s: torch_bias_init(k, s, fan_in=fan_in),
                 (self.features,))
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
             y = y + bias
         return y
 
@@ -100,6 +109,7 @@ class TemporalAttentionLayer(nn.Module):
     num_head: int
     dropout: float = 0.0
     att_dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, mfg: MFG, h_all: Optional[jax.Array],
@@ -110,6 +120,11 @@ class TemporalAttentionLayer(nn.Module):
         use_edge = self.dim_edge > 0
         use_time = self.dim_time > 0
         mask = mfg.nbr_mask  # [B, F]
+        if self.dtype is not None:
+            if h_all is not None:
+                h_all = h_all.astype(self.dtype)
+            if edge_feats is not None:
+                edge_feats = edge_feats.astype(self.dtype)
 
         if use_node:
             h_dst = h_all[:B]
@@ -122,23 +137,27 @@ class TemporalAttentionLayer(nn.Module):
 
         ef = edge_feats if use_edge else jnp.zeros((B, F, 0))
 
+        cdt = self.dtype or jnp.float32
         if use_time:
             time_enc = TimeEncode(self.dim_time)
-            tf = time_enc(mfg.nbr_dts)                     # [B, F, dt]
-            ztf = time_enc(jnp.zeros((B,), jnp.float32))   # [B, dt]
+            tf = time_enc(mfg.nbr_dts).astype(cdt)         # [B, F, dt]
+            ztf = time_enc(jnp.zeros((B,), jnp.float32)).astype(cdt)
         else:
-            tf = jnp.zeros((B, F, 0))
-            ztf = jnp.zeros((B, 0))
+            tf = jnp.zeros((B, F, 0), cdt)
+            ztf = jnp.zeros((B, 0), cdt)
+        h_dst = h_dst.astype(cdt)
+        h_src = h_src.astype(cdt)
+        ef = ef.astype(cdt)
 
         q_in = jnp.concatenate([h_dst, ztf], axis=-1)
         kv_in = jnp.concatenate([h_src, ef, tf], axis=-1)
 
         if use_node or use_time:
-            Q = Linear(self.dim_out, name="w_q")(q_in)
+            Q = Linear(self.dim_out, name="w_q", dtype=self.dtype)(q_in)
         else:
             Q = q_in  # identity (layers.py:76-79)
-        K = Linear(self.dim_out, name="w_k")(kv_in)
-        V = Linear(self.dim_out, name="w_v")(kv_in)
+        K = Linear(self.dim_out, name="w_k", dtype=self.dtype)(kv_in)
+        V = Linear(self.dim_out, name="w_v", dtype=self.dtype)(kv_in)
 
         H = self.num_head
         dh = self.dim_out // H
@@ -146,21 +165,23 @@ class TemporalAttentionLayer(nn.Module):
         Kh = K.reshape(B, F, H, dh)
         Vh = V.reshape(B, F, H, dh)
 
-        att = nn.leaky_relu(jnp.sum(Qh * Kh, axis=-1),
-                            negative_slope=0.2)            # [B, F, H]
+        att = nn.leaky_relu(
+            jnp.sum(Qh * Kh, axis=-1).astype(jnp.float32),
+            negative_slope=0.2)                            # [B, F, H]
         att = masked_softmax(att, mask[..., None], axis=1)
         att = nn.Dropout(self.att_dropout, deterministic=not train)(att)
 
-        agg = jnp.sum(Vh * att[..., None], axis=1).reshape(B, self.dim_out)
+        agg = jnp.sum(Vh * att[..., None].astype(cdt), axis=1) \
+            .reshape(B, self.dim_out)
 
         if use_node:
             rst = jnp.concatenate([agg, h_dst], axis=-1)
         else:
             rst = agg
-        rst = Linear(self.dim_out, name="w_out")(rst)
+        rst = Linear(self.dim_out, name="w_out", dtype=self.dtype)(rst)
         rst = nn.relu(nn.Dropout(self.dropout,
                                  deterministic=not train)(rst))
-        return nn.LayerNorm(epsilon=1e-5)(rst)
+        return nn.LayerNorm(epsilon=1e-5)(rst.astype(jnp.float32))
 
 
 class EdgePredictor(nn.Module):
