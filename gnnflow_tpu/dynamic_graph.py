@@ -376,6 +376,16 @@ class DynamicGraph:
         self._dirty = True
         return total
 
+    def restore_from_file(self, path: str) -> int:
+        """Re-insert edges previously spilled by
+        ``offload_old_blocks(to_file=True)`` (the ``ReadFromFile``
+        analogue, ``temporal_block_allocator.cu:220-256``).  Returns the
+        number of restored edges."""
+        data = np.load(path)
+        self.add_edges(data["src"], data["dst"], data["ts"],
+                       eids=data["eid"])
+        return int(len(data["src"]))
+
     def compact(self) -> None:
         """Repack all live regions to the front of the pool, reclaiming the
         slack leaked by reallocation/offload."""

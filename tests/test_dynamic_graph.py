@@ -162,6 +162,11 @@ def test_offload_old_edges(tmp_path):
     assert data["dst"].tolist() == [1, 2]
     # idempotent for the same threshold
     assert g.offload_old_blocks(2.0) == 0
+    # spilled edges can be restored (ReadFromFile analogue)
+    assert g.restore_from_file(files[0]) == 2
+    nbrs, tss, eids = g.get_temporal_neighbors(0)
+    assert nbrs.tolist() == [4, 3, 2, 1]
+    assert eids.tolist() == [3, 2, 1, 0]
 
 
 def test_pool_growth_and_max_size():
