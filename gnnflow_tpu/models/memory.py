@@ -274,19 +274,26 @@ def update_mem_mail(state: MemoryState,
 
     dm = state.dim_memory
     n = state.num_nodes
+    # NB: column-slice scatters are pathologically slow on TPU; instead
+    # read-modify-write FULL rows (gather current row, replace the target
+    # columns, scatter whole rows).
     win_mail = unique_keep_last_mask(nid, valid_inter)
-    mail_payload = jnp.concatenate([mail, mail_ts[:, None]], axis=1)
-    data = state.data.at[
-        jnp.where(win_mail, nid, n), dm + 1:].set(
-        mail_payload, mode="drop")
+    safe_mail = jnp.clip(nid, 0, n - 1)
+    cur = state.data[safe_mail]
+    mail_rows = jnp.concatenate(
+        [cur[:, : dm + 1], mail, mail_ts[:, None]], axis=1)
+    data = state.data.at[jnp.where(win_mail, nid, n)].set(
+        mail_rows, mode="drop")
 
     nid_mem = last_updated_nid[:2 * b]
     mem_vals = last_updated_memory[:2 * b]
     mem_ts = last_updated_ts[:2 * b]
     win_mem = unique_keep_last_mask(nid_mem, valid_block)
-    mem_payload = jnp.concatenate([mem_vals, mem_ts[:, None]], axis=1)
-    data = data.at[
-        jnp.where(win_mem, nid_mem, n), : dm + 1].set(
-        mem_payload, mode="drop")
+    safe_mem = jnp.clip(nid_mem, 0, n - 1)
+    cur = data[safe_mem]  # after the mailbox write (overlapping nids)
+    mem_rows = jnp.concatenate(
+        [mem_vals, mem_ts[:, None], cur[:, dm + 1:]], axis=1)
+    data = data.at[jnp.where(win_mem, nid_mem, n)].set(
+        mem_rows, mode="drop")
 
     return state.replace(data=data)
