@@ -83,24 +83,27 @@ def main():
             jnp.asarray(valid),
             3 * batch.num_valid))
 
-    # Warmup: compile + one full untimed epoch (remote-compile backends
-    # have per-buffer-pattern warmup costs).  NB: timings must end with a
-    # real value fetch — block_until_ready alone can return early on
-    # tunneled device runtimes.
-    for tn, ts_, eids, valid, _ in staged:
-        state, loss, _, _ = trainer.train_step_arrays(
-            state, dg, None, ef, tn, ts_, eids, valid)
-    float(loss)
+    # The epoch runs as ONE dispatch via lax.scan over the staged batches
+    # (the framework's production path).  NB: timings must end with a real
+    # value fetch — block_until_ready alone can return early on tunneled
+    # device runtimes.
+    import jax.numpy as jnp2
+    TN = jnp.stack([s[0] for s in staged])
+    TS = jnp.stack([s[1] for s in staged])
+    EI = jnp.stack([s[2] for s in staged])
+    VA = jnp.stack([s[3] for s in staged])
+    total_samples = sum(s[4] for s in staged)
+    n_iters = len(staged)
 
-    # Timed: one full training epoch
+    # warmup epoch (compile + runtime warmup)
+    state, losses = trainer.train_steps_scan(state, dg, None, ef,
+                                             TN, TS, EI, VA)
+    float(losses[-1])
+    # timed epoch
     t0 = time.time()
-    total_samples = 0
-    n_iters = 0
-    for tn, ts_, eids, valid, n in staged:
-        state, loss, _, _ = trainer.train_step_arrays(
-            state, dg, None, ef, tn, ts_, eids, valid)
-        total_samples += n
-        n_iters += 1
+    state, losses = trainer.train_steps_scan(state, dg, None, ef,
+                                             TN, TS, EI, VA)
+    loss = losses[-1]
     float(loss)
     epoch_time = time.time() - t0
 
