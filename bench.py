@@ -59,10 +59,12 @@ def main():
     ef = jnp.asarray(ef_np)
 
     batch_size = 4000
+    # bfloat16 compute (params f32) — standard TPU mixed precision;
+    # AP parity with f32 verified in tests/test_end_to_end.py
     model = DGNN(dim_node=0, dim_edge=dim_edge, dim_time=100,
                  dim_embed=100, num_layers=1, num_snapshots=1, att_head=2,
                  dropout=0.2, att_dropout=0.2, use_memory=True,
-                 dim_memory=100)
+                 dim_memory=100, compute_dtype="bfloat16")
     trainer = Trainer(model, fanouts=[10], sample_strategy="recent",
                       lr=1e-4)
     state = trainer.init_state(jax.random.PRNGKey(0), dg, batch_size,

@@ -111,3 +111,18 @@ def test_metrics_match_sklearn():
         rtol=1e-9)
     np.testing.assert_allclose(
         roc_auc_score(y, s), skm.roc_auc_score(y, s), rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_tgn_learns_bf16():
+    """Mixed-precision (bfloat16 compute) must reach the same AP."""
+    train, val, full, g, edge_feats = _setup()
+    model = DGNN(dim_node=0, dim_edge=16, dim_time=16, dim_embed=32,
+                 num_layers=1, num_snapshots=1, att_head=2,
+                 dropout=0.1, att_dropout=0.1, use_memory=True,
+                 dim_memory=32, compute_dtype="bfloat16")
+    trainer = Trainer(model, fanouts=[10], sample_strategy="recent",
+                      lr=1e-3)
+    ap, auc = _run_training(model, trainer, train, val, full, g,
+                            edge_feats)
+    assert ap > 0.70, f"bf16 TGN AP too low: {ap}"
