@@ -68,10 +68,17 @@ class PartitionedDynamicGraph:
     (the per-machine ingestion path, ``dist_graph.py:34-71``) plus the
     partition table; produces a mesh-sharded device view."""
 
+    _GRAPH_KEYS = ("initial_pool_size", "maximum_pool_size",
+                   "mem_resource_type", "minimum_block_size",
+                   "blocks_to_preallocate", "insertion_policy",
+                   "adaptive_block_size", "spill_dir")
+
     def __init__(self, num_partitions: int, mesh: Optional[Mesh] = None,
                  **graph_kwargs):
         self.num_partitions = num_partitions
         self.mesh = mesh
+        graph_kwargs = {k: v for k, v in graph_kwargs.items()
+                        if k in self._GRAPH_KEYS}
         self.locals: List[DynamicGraph] = [
             DynamicGraph(**graph_kwargs) for _ in range(num_partitions)]
         self._pt = np.zeros(0, dtype=np.int32)
