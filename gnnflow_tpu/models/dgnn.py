@@ -58,6 +58,7 @@ class DGNN(nn.Module):
     dim_memory: Optional[int] = None
     memory_updater: str = "gru"   # "gru" | "transformer" (APAN)
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" mixed precision
+    attention_impl: str = "xla"          # "xla" | "pallas"
 
     def setup(self):
         cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype \
@@ -92,6 +93,7 @@ class DGNN(nn.Module):
                     dropout=self.dropout,
                     att_dropout=self.att_dropout,
                     dtype=cdt,
+                    attention_impl=self.attention_impl,
                     name=f"l{l}h{h}")
         self.layers = layers
 

@@ -46,5 +46,6 @@ def build_model(name: str, model_config: dict, dim_node: int,
             use_memory=cfg.get("use_memory", False),
             dim_memory=cfg.get("dim_memory"),
             memory_updater=cfg.get("memory_updater", "gru"),
-            compute_dtype=cfg.get("compute_dtype"))
+            compute_dtype=cfg.get("compute_dtype"),
+            attention_impl=cfg.get("attention_impl", "xla"))
     return model, sampler_kwargs

@@ -110,6 +110,7 @@ class TemporalAttentionLayer(nn.Module):
     dropout: float = 0.0
     att_dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None   # compute dtype (params stay f32)
+    attention_impl: str = "xla"         # "xla" | "pallas"
 
     @nn.compact
     def __call__(self, mfg: MFG, h_all: Optional[jax.Array],
@@ -161,18 +162,29 @@ class TemporalAttentionLayer(nn.Module):
 
         H = self.num_head
         dh = self.dim_out // H
-        Qh = Q.reshape(B, 1, H, dh)
-        Kh = K.reshape(B, F, H, dh)
-        Vh = V.reshape(B, F, H, dh)
+        use_pallas = (self.attention_impl == "pallas"
+                      and not (train and self.att_dropout > 0))
+        if use_pallas:
+            # fused Pallas kernel (no attention-dropout path)
+            from gnnflow_tpu.ops.attention_pallas import \
+                neighborhood_attention
+            agg = neighborhood_attention(
+                Q.reshape(B, H, dh), K.reshape(B, F, H, dh),
+                V.reshape(B, F, H, dh), mask).reshape(B, self.dim_out)
+        else:
+            Qh = Q.reshape(B, 1, H, dh)
+            Kh = K.reshape(B, F, H, dh)
+            Vh = V.reshape(B, F, H, dh)
 
-        att = nn.leaky_relu(
-            jnp.sum(Qh * Kh, axis=-1).astype(jnp.float32),
-            negative_slope=0.2)                            # [B, F, H]
-        att = masked_softmax(att, mask[..., None], axis=1)
-        att = nn.Dropout(self.att_dropout, deterministic=not train)(att)
+            att = nn.leaky_relu(
+                jnp.sum(Qh * Kh, axis=-1).astype(jnp.float32),
+                negative_slope=0.2)                        # [B, F, H]
+            att = masked_softmax(att, mask[..., None], axis=1)
+            att = nn.Dropout(self.att_dropout,
+                             deterministic=not train)(att)
 
-        agg = jnp.sum(Vh * att[..., None].astype(cdt), axis=1) \
-            .reshape(B, self.dim_out)
+            agg = jnp.sum(Vh * att[..., None].astype(cdt), axis=1) \
+                .reshape(B, self.dim_out)
 
         if use_node:
             rst = jnp.concatenate([agg, h_dst], axis=-1)

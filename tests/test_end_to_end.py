@@ -126,3 +126,39 @@ def test_tgn_learns_bf16():
     ap, auc = _run_training(model, trainer, train, val, full, g,
                             edge_feats)
     assert ap > 0.70, f"bf16 TGN AP too low: {ap}"
+
+
+def test_scan_epoch_matches_per_step():
+    """train_steps_scan must produce the same losses as per-step calls."""
+    train, val, full, g, edge_feats = _setup(num_edges=2000)
+    import jax.numpy as jnp
+    model = DGNN(dim_node=0, dim_edge=16, dim_time=8, dim_embed=16,
+                 num_layers=1, num_snapshots=1, att_head=2, dropout=0.0,
+                 att_dropout=0.0, use_memory=True, dim_memory=16)
+    trainer = Trainer(model, fanouts=[5], lr=1e-3)
+    dg = g.device_graph()
+    ef = jnp.asarray(edge_feats)
+    B = 200
+    neg = DstRandEdgeSampler(train.dst, seed=1)
+    tns, tss, eis, vs = [], [], [], []
+    for b in get_batches(train, B, neg):
+        v = np.zeros(B, bool); v[:b.num_valid] = True
+        tns.append(b.target_nodes); tss.append(b.ts); eis.append(b.eids)
+        vs.append(v)
+    TN = jnp.asarray(np.stack(tns), jnp.int32)
+    TS = jnp.asarray(np.stack(tss), jnp.float32)
+    EI = jnp.asarray(np.stack(eis), jnp.int32)
+    VA = jnp.asarray(np.stack(vs))
+
+    s1 = trainer.init_state(jax.random.PRNGKey(0), dg, B, None, ef,
+                            num_nodes=g.max_vertex_id() + 1)
+    s2 = trainer.init_state(jax.random.PRNGKey(0), dg, B, None, ef,
+                            num_nodes=g.max_vertex_id() + 1)
+    losses1 = []
+    for i in range(TN.shape[0]):
+        s1, loss, _, _ = trainer.train_step_arrays(
+            s1, dg, None, ef, TN[i], TS[i], EI[i], VA[i])
+        losses1.append(float(loss))
+    s2, losses2 = trainer.train_steps_scan(s2, dg, None, ef, TN, TS, EI,
+                                           VA)
+    np.testing.assert_allclose(losses1, np.asarray(losses2), rtol=2e-4)
