@@ -107,11 +107,28 @@ def main():
                                                        efj, batch)
         return state, float(loss)
 
-    logging.info("phase 1: pretraining on %d edges", len(phase1))
-    t0 = time.time()
-    state, loss = train_on(state, phase1, args.epoch)
-    logging.info("phase 1 done in %.1fs (loss %.4f)", time.time() - t0,
-                 loss)
+    # phase-1 checkpoint/resume (online_edge_prediction.py:259-294)
+    from gnnflow_tpu.models import memory as memory_lib
+    from gnnflow_tpu.utils.checkpoint import (load_checkpoint,
+                                              save_checkpoint)
+    ckpt_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", f"{args.model}_online_phase1.ckpt")
+    if os.path.exists(ckpt_path):
+        ckpt = load_checkpoint(ckpt_path)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, ckpt["params"]),
+            memory=(memory_lib.restore_memory(ckpt["memory"])
+                    if ckpt["memory"] else state.memory))
+        logging.info("phase 1: resumed from %s", ckpt_path)
+    else:
+        logging.info("phase 1: pretraining on %d edges", len(phase1))
+        t0 = time.time()
+        state, loss = train_on(state, phase1, args.epoch)
+        logging.info("phase 1 done in %.1fs (loss %.4f)",
+                     time.time() - t0, loss)
+        mem_bk = (memory_lib.backup_memory(state.memory)
+                  if state.memory is not None else None)
+        save_checkpoint(ckpt_path, state.params, mem_bk)
 
     aps, aucs = [], []
     seen = phase1
