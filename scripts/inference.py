@@ -7,6 +7,7 @@ embeddings for offline visualization (the reference's t-SNE step,
 since the image lacks display/network).
 """
 import argparse
+import faulthandler
 import logging
 import os
 import sys
@@ -33,12 +34,16 @@ parser.add_argument("--seed", type=int, default=42)
 parser.add_argument("--synthetic-edges", type=int, default=100_000)
 parser.add_argument("--time-windows", type=float, nargs="*", default=[0],
                     help="snapshot time windows to sweep")
+parser.add_argument("--batch-size", type=int, default=None)
 parser.add_argument("--dump-embeddings", default=None,
                     help="npz path for final-batch embeddings")
 args = parser.parse_args()
 
 logging.basicConfig(level=logging.INFO,
                     format="%(asctime)s %(levelname)s %(message)s")
+if os.environ.get("GNNFLOW_WATCHDOG"):
+    faulthandler.dump_traceback_later(int(os.environ["GNNFLOW_WATCHDOG"]),
+                                      repeat=True)
 
 
 def main():
@@ -83,7 +88,7 @@ def main():
                                             dim_edge)
         trainer = Trainer(model, **sampler_kwargs)
         dg = dgraph.device_graph()
-        batch_size = cfg["batch_size"]
+        batch_size = args.batch_size or cfg["batch_size"]
         state = trainer.init_state(jax.random.PRNGKey(args.seed), dg,
                                    batch_size, nfj, efj,
                                    num_nodes=num_nodes)

@@ -57,6 +57,9 @@ parser.add_argument("--edge-cache-ratio", type=float, default=0)
 parser.add_argument("--node-cache-ratio", type=float, default=0)
 parser.add_argument("--snapshot-time-window", type=float, default=0)
 parser.add_argument("--synthetic-edges", type=int, default=100_000)
+parser.add_argument("--use-scan", action="store_true",
+                    help="run each epoch as one lax.scan dispatch "
+                         "(fastest; per-iteration logs unavailable)")
 args = parser.parse_args()
 
 logging.basicConfig(level=logging.INFO,
@@ -193,28 +196,67 @@ def main():
     import gnnflow_tpu.models.memory as memory_lib
 
     logging.info("starting training loop")
+    from gnnflow_tpu.utils.profiling import PhaseTimer
+    timer = PhaseTimer()
+
     for epoch in range(args.epoch):
         epoch_start = time.time()
         total_samples = 0
         it = 0
-        for batch in get_batches(train_data, batch_size, train_neg,
-                                 num_chunks=args.num_chunks, rng=rng):
-            if cache is not None:
-                mfgs = sampler.sample(batch.target_nodes, batch.ts)
-                nfs, efs = cache.fetch_feature(mfgs, batch.eids)
-                state, loss, _, _ = trainer.train_step_prefetched(
-                    state, mfgs, nfs, efs, cache.target_edge_features,
-                    batch)
-            else:
-                state, loss, _, _ = trainer.train_step(
-                    state, dg, nfj, efj, batch)
-            total_samples += 3 * batch.num_valid
-            it += 1
-            if it % args.print_freq == 0:
-                logging.info("epoch %d it %d loss %.4f", epoch, it,
-                             float(loss))
-        jax.block_until_ready(state.params)
+        if args.use_scan and cache is None:
+            # stage the epoch's batches, run it as one dispatch
+            with timer("stage"):
+                staged = []
+                for batch in get_batches(train_data, batch_size,
+                                         train_neg,
+                                         num_chunks=args.num_chunks,
+                                         rng=rng):
+                    v = np.zeros(batch.batch_size, bool)
+                    v[: batch.num_valid] = True
+                    staged.append((batch.target_nodes, batch.ts,
+                                   batch.eids, v))
+                    total_samples += 3 * batch.num_valid
+                TN = jnp.asarray(np.stack([s[0] for s in staged]),
+                                 jnp.int32)
+                TS = jnp.asarray(np.stack([s[1] for s in staged]),
+                                 jnp.float32)
+                EI = jnp.asarray(np.stack([s[2] for s in staged]),
+                                 jnp.int32)
+                VA = jnp.asarray(np.stack([s[3] for s in staged]))
+            with timer("train"):
+                state, losses = trainer.train_steps_scan(
+                    state, dg, nfj, efj, TN, TS, EI, VA)
+                loss = losses[-1]
+                float(loss)
+            it = TN.shape[0]
+        else:
+            for batch in get_batches(train_data, batch_size, train_neg,
+                                     num_chunks=args.num_chunks,
+                                     rng=rng):
+                if cache is not None:
+                    with timer("sample"):
+                        mfgs = sampler.sample(batch.target_nodes,
+                                              batch.ts)
+                    with timer("feature"):
+                        nfs, efs = cache.fetch_feature(mfgs, batch.eids)
+                    with timer("train"):
+                        state, loss, _, _ = \
+                            trainer.train_step_prefetched(
+                                state, mfgs, nfs, efs,
+                                cache.target_edge_features, batch)
+                else:
+                    with timer("train"):
+                        state, loss, _, _ = trainer.train_step(
+                            state, dg, nfj, efj, batch)
+                total_samples += 3 * batch.num_valid
+                it += 1
+                if it % args.print_freq == 0:
+                    logging.info("epoch %d it %d loss %.4f", epoch, it,
+                                 float(loss))
+            jax.block_until_ready(state.params)
         epoch_time = time.time() - epoch_start
+        logging.info("epoch %d phases: %s", epoch, timer.format())
+        timer.reset()
         state, ap, auc, val_loss = run_eval(state, val_data, val_neg)
         logging.info(
             "epoch %d: time %.2fs, throughput %.0f samples/s, "
