@@ -26,7 +26,6 @@ load-balanced by construction.
 """
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence
 
 import jax

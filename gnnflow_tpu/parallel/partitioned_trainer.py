@@ -34,23 +34,17 @@ class PartitionedTrainer(Trainer):
         super().__init__(model, **kwargs)
         repl = NamedSharding(mesh, P())
         batch = NamedSharding(mesh, P(DATA_AXIS))
+        shard = NamedSharding(mesh, P(DATA_AXIS))
         graph_shard = PartitionedDeviceGraph(
-            row_off=NamedSharding(mesh, P(DATA_AXIS)),
-            row_len=NamedSharding(mesh, P(DATA_AXIS)),
-            e_dst=NamedSharding(mesh, P(DATA_AXIS)),
-            e_ts=NamedSharding(mesh, P(DATA_AXIS)),
-            e_eid=NamedSharding(mesh, P(DATA_AXIS)),
-            partition_table=repl)
-        row_shard = NamedSharding(mesh, P(DATA_AXIS))
-        # state sharding: memory rows sharded, everything else replicated
-        # is expressed per-leaf lazily; simplest robust choice is to let
-        # GSPMD propagate from the input placements, constraining only
-        # the batch and graph args.
+            row_off=shard, row_len=shard, e_dst=shard, e_ts=shard,
+            e_eid=shard, partition_table=repl)
+        # state sharding (memory rows sharded, params replicated) is
+        # propagated by GSPMD from the input placements; only the batch
+        # and graph args are constrained here.
         self._train_step = jax.jit(
             self._step, static_argnums=(8,), donate_argnums=(0,),
             in_shardings=(None, graph_shard, None, None,
                           batch, batch, batch, batch))
-        del row_shard
 
     def _sample(self, dg, roots, ts, key):
         return sample_hops_partitioned(

@@ -15,8 +15,7 @@ inserts the gradient all-reduce automatically (the DDP-equivalent,
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -155,8 +154,6 @@ class Trainer:
         mem_input = None
         if self.model.use_memory:
             mem_input = memory_lib.prepare_input(state.memory, mfgs[0][0])
-        b = eids.shape[0]
-        valid3 = jnp.concatenate([valid, valid, valid])
 
         def loss_fn(params):
             pos, neg, last = self.model.apply(
@@ -189,7 +186,6 @@ class Trainer:
                 last["last_updated_memory"], last["last_updated_ts"],
                 edge_feats=tef, valid=valid,
                 neg_sample_ratio=self.neg_ratio)
-        del valid3, b
         new_state = state.replace(params=params, opt_state=opt_state,
                                   memory=memory, key=key,
                                   step=state.step + 1)
