@@ -17,6 +17,7 @@ running ``cache_node_ratio`` / ``cache_edge_ratio`` hit-rate metrics.
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -24,6 +25,38 @@ import jax.numpy as jnp
 import numpy as np
 
 from gnnflow_tpu.common import MFG
+
+
+def _bucket(n: int) -> int:
+    """Pad counts to powers of two so the jitted device ops compile for a
+    bounded set of shapes."""
+    return 1 if n <= 1 else 1 << (int(n) - 1).bit_length()
+
+
+@functools.lru_cache(maxsize=None)
+def _assemble_fn(dim: int):
+    """One fused device call per fetch: gather cached rows, merge host
+    misses, map back to the flat id order.  Eager per-op dispatch is
+    pathologically slow on remote-device runtimes, so ALL device work of
+    a fetch happens here (shapes bucket-padded by the caller)."""
+
+    def impl(buffer, n_uniq, hit_slots, hit_pos, miss_vals, miss_pos,
+             inv, valid):
+        out = jnp.zeros((n_uniq, dim), jnp.float32)
+        out = out.at[hit_pos].set(buffer[hit_slots], mode="drop")
+        out = out.at[miss_pos].set(miss_vals, mode="drop")
+        rows = out[jnp.clip(inv, 0, n_uniq - 1)]
+        return jnp.where(valid[:, None], rows, 0.0)
+
+    return jax.jit(impl, static_argnums=(1,))
+
+
+@functools.lru_cache(maxsize=None)
+def _insert_fn():
+    @jax.jit
+    def impl(buffer, slots, vals):
+        return buffer.at[slots].set(vals, mode="drop")
+    return impl
 
 
 class _KindCache:
@@ -56,37 +89,51 @@ class _KindCache:
         if k == 0 or self.capacity == 0:
             return
         slots = np.arange(k)
-        self.buffer = self.buffer.at[slots].set(
-            jnp.asarray(self.table[ids], jnp.float32))
+        self.buffer = _insert_fn()(
+            self.buffer, jnp.asarray(slots),
+            jnp.asarray(np.ascontiguousarray(self.table[ids],
+                                             dtype=np.float32)))
         self.flag[ids] = True
         self.map[ids] = slots
         self.rmap[:k] = ids
 
-    def fetch(self, ids: np.ndarray) -> jax.Array:
-        """Gather features for (unique) ``ids`` → device [len(ids), dim]."""
+    def fetch(self, ids: np.ndarray, inv: np.ndarray,
+              valid: np.ndarray) -> jax.Array:
+        """Gather features for unique ``ids``; ``inv`` maps them back to
+        the flat query order.  Returns device [len(inv), dim].  All
+        device work is one jitted call with bucket-padded shapes."""
         n = len(ids)
-        if n == 0:
-            return jnp.zeros((0, self.dim), jnp.float32)
         self.total += n
-        if self.capacity == 0:
-            return jax.device_put(
-                np.ascontiguousarray(self.table[ids], dtype=np.float32))
+        if self.capacity == 0 or n == 0:
+            rows = np.zeros((len(inv), self.dim), np.float32)
+            np.copyto(rows, self.table[ids][inv] if n else 0)
+            rows[~valid] = 0
+            self._last_miss = (np.zeros(0, np.int64), None)
+            return jax.device_put(rows)
         hit = self.flag[ids]
         self.hits += int(hit.sum())
         hit_pos = np.flatnonzero(hit)
         miss_pos = np.flatnonzero(~hit)
-        out = jnp.zeros((n, self.dim), jnp.float32)
-        if len(hit_pos):
-            slots = self.map[ids[hit_pos]]
-            out = out.at[jnp.asarray(hit_pos)].set(
-                self.buffer[jnp.asarray(slots)])
-        miss_vals = None
+        n_uniq = _bucket(n)
+        nh = _bucket(len(hit_pos))
+        nm = _bucket(len(miss_pos))
+        pad_to = lambda a, k, fill: np.pad(
+            np.asarray(a, np.int64), (0, k - len(a)),
+            constant_values=fill)
+        hit_slots = pad_to(self.map[ids[hit_pos]], nh, 0)
+        hit_posp = pad_to(hit_pos, nh, n_uniq)      # pad -> dropped
+        miss_idsp = ids[miss_pos]
+        miss_vals = np.zeros((nm, self.dim), np.float32)
         if len(miss_pos):
-            miss_vals = jax.device_put(np.ascontiguousarray(
-                self.table[ids[miss_pos]], dtype=np.float32))
-            out = out.at[jnp.asarray(miss_pos)].set(miss_vals)
-        self._last_miss = (ids[miss_pos] if len(miss_pos) else
-                           np.zeros(0, np.int64), miss_vals)
+            miss_vals[: len(miss_pos)] = self.table[miss_idsp]
+        miss_posp = pad_to(miss_pos, nm, n_uniq)
+        out = _assemble_fn(self.dim)(
+            self.buffer, n_uniq,
+            jnp.asarray(hit_slots), jnp.asarray(hit_posp),
+            jnp.asarray(miss_vals), jnp.asarray(miss_posp),
+            jnp.asarray(np.asarray(inv, np.int64)),
+            jnp.asarray(valid))
+        self._last_miss = (miss_idsp, miss_vals[: len(miss_pos)])
         return out
 
     def insert(self, victim_slots: np.ndarray) -> np.ndarray:
@@ -102,8 +149,13 @@ class _KindCache:
         live = old_ids >= 0
         self.flag[old_ids[live]] = False
         self.map[old_ids[live]] = -1
-        self.buffer = self.buffer.at[jnp.asarray(slots)].set(
-            miss_vals[:k])
+        kb = _bucket(k)
+        slots_p = np.pad(slots, (0, kb - k),
+                         constant_values=self.buffer.shape[0])
+        vals_p = np.zeros((kb, self.dim), np.float32)
+        vals_p[:k] = miss_vals[:k]
+        self.buffer = _insert_fn()(self.buffer, jnp.asarray(slots_p),
+                                   jnp.asarray(vals_p))
         self.flag[ids] = True
         self.map[ids] = slots
         self.rmap[slots] = ids
@@ -198,11 +250,10 @@ class Cache:
         flat_valid = valid.reshape(-1)
         safe = np.where(flat_valid, flat_ids, 0)
         uniq, inv = np.unique(safe, return_inverse=True)
-        hit_mask = kind.flag[uniq]
-        rows = kind.fetch(uniq)
+        hit_mask = kind.flag[uniq] if kind.capacity else \
+            np.zeros(len(uniq), bool)
+        out = kind.fetch(uniq, inv, flat_valid)
         self._update(kind, uniq, hit_mask)
-        out = rows[jnp.asarray(inv)]
-        out = jnp.where(jnp.asarray(flat_valid)[:, None], out, 0.0)
         return out.reshape(out_shape + (kind.dim,))
 
     def fetch_feature(self, mfgs: List[List[MFG]],
