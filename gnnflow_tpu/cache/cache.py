@@ -59,6 +59,46 @@ def _insert_fn():
     return impl
 
 
+@jax.jit
+def _pack_indices(arrays):
+    """Concatenate index/mask arrays into ONE int32 vector so the host
+    side needs a single device->host transfer per fetch (transfer latency
+    dominates on remote-device runtimes)."""
+    return jnp.concatenate(
+        [a.reshape(-1).astype(jnp.int32) for a in arrays])
+
+
+def mfgs_to_host(mfgs):
+    """Pull every MFG's id/eid/mask arrays to host in one transfer.
+
+    Returns ``(node_ids[s], node_valid[s], eids[l][s], emask[l][s])``
+    keyed like ``fetch_feature`` consumes them."""
+    parts = []
+    for mfg in mfgs[0]:
+        parts += [mfg.all_nodes(), mfg.all_mask()]
+    for layer in mfgs:
+        for mfg in layer:
+            parts += [mfg.nbr_eids, mfg.nbr_mask]
+    flat = np.asarray(_pack_indices(parts))
+    out = []
+    off = 0
+    for a in parts:
+        size = int(np.prod(a.shape))
+        out.append(flat[off: off + size].reshape(a.shape))
+        off += size
+    node_ids = out[0::2][: len(mfgs[0])]
+    node_valid = [v.astype(bool) for v in out[1::2][: len(mfgs[0])]]
+    rest = out[2 * len(mfgs[0]):]
+    eids, emask = [], []
+    i = 0
+    for layer in mfgs:
+        eids.append([rest[2 * (i + j)] for j in range(len(layer))])
+        emask.append([rest[2 * (i + j) + 1].astype(bool)
+                      for j in range(len(layer))])
+        i += len(layer)
+    return node_ids, node_valid, eids, emask
+
+
 class _KindCache:
     """Cache state for one feature kind (node or edge)."""
 
@@ -264,24 +304,23 @@ class Cache:
         Returns ``(node_feats_per_snapshot, edge_feats[layer][snapshot])``
         and stashes ``self.target_edge_features`` (``cache.py:402-411``).
         """
+        node_ids, node_valid, eid_arrs, emask_arrs = mfgs_to_host(mfgs)
         nfs = []
-        for mfg in mfgs[0]:
+        for s in range(len(mfgs[0])):
             if self.node_cache is None:
                 nfs.append(None)
                 continue
-            ids = np.asarray(mfg.all_nodes())
-            valid = np.asarray(mfg.all_mask())
+            ids, valid = node_ids[s], node_valid[s]
             nfs.append(self._fetch_kind(self.node_cache, ids, valid,
                                         (ids.shape[0],)))
         efs = []
-        for layer in mfgs:
+        for l, layer in enumerate(mfgs):
             row = []
-            for mfg in layer:
+            for s in range(len(layer)):
                 if self.edge_cache is None:
                     row.append(None)
                     continue
-                ids = np.asarray(mfg.nbr_eids)
-                valid = np.asarray(mfg.nbr_mask)
+                ids, valid = eid_arrs[l][s], emask_arrs[l][s]
                 row.append(self._fetch_kind(self.edge_cache, ids, valid,
                                             ids.shape))
             efs.append(row)
