@@ -62,6 +62,25 @@ class TemporalSampler:
         # changes (and recompiles) only at power-of-two boundaries.
         return max(1, int(self._graph._max_degree).bit_length())
 
+    def _jitted_hops(self, iters: int, with_key: bool):
+        """One fused jit for the whole k-hop sample (a single dispatch
+        instead of one per layer/snapshot — dispatch latency matters on
+        remote-device runtimes)."""
+        cache = getattr(self, "_hops_cache", None)
+        if cache is None:
+            cache = self._hops_cache = {}
+        k = (iters, with_key)
+        if k not in cache:
+            def fn(g, roots, ts, key=None):
+                return sample_hops(
+                    g, roots, ts, fanouts=self._fanouts,
+                    strategy=self._strategy,
+                    num_snapshots=self._num_snapshots,
+                    window=self._window, prop_time=self._prop_time,
+                    search_iters=iters, key=key)
+            cache[k] = jax.jit(fn)
+        return cache[k]
+
     def sample(self, target_vertices: np.ndarray,
                timestamps: np.ndarray) -> List[List[MFG]]:
         """Sample k-hop neighbors; ``mfgs[0]`` is the innermost layer."""
@@ -69,13 +88,13 @@ class TemporalSampler:
               if self._is_static else timestamps)
         g = self._graph.device_graph()
         roots = np.asarray(target_vertices, dtype=np.int32)
-        return sample_hops(
-            g, jax.device_put(roots), jax.device_put(
-                np.asarray(ts, dtype=np.float32)),
-            fanouts=self._fanouts, strategy=self._strategy,
-            num_snapshots=self._num_snapshots, window=self._window,
-            prop_time=self._prop_time, search_iters=self._search_iters(),
-            key=self._next_key() if self._strategy == "uniform" else None)
+        with_key = self._strategy == "uniform"
+        fn = self._jitted_hops(self._search_iters(), with_key)
+        args = [g, jax.device_put(roots),
+                jax.device_put(np.asarray(ts, dtype=np.float32))]
+        if with_key:
+            args.append(self._next_key())
+        return fn(*args)
 
     def sample_layer(self, target_vertices: np.ndarray,
                      timestamps: np.ndarray, layer: int,
