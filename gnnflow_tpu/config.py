@@ -130,6 +130,7 @@ _apan_default_config = {
     "prop_time": False,
     "use_memory": True,
     "memory_updater": "transformer",
+    "mailbox_slots": 10,
     "dim_time": 100,
     "dim_embed": 100,
     "dim_memory": 100,

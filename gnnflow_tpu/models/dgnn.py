@@ -57,6 +57,7 @@ class DGNN(nn.Module):
     use_memory: bool
     dim_memory: Optional[int] = None
     memory_updater: str = "gru"   # "gru" | "transformer" (APAN)
+    mailbox_slots: int = 1        # >1: APAN-style circular mailbox
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" mixed precision
     attention_impl: str = "xla"          # "xla" | "pallas"
 

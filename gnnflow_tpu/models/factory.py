@@ -46,6 +46,7 @@ def build_model(name: str, model_config: dict, dim_node: int,
             use_memory=cfg.get("use_memory", False),
             dim_memory=cfg.get("dim_memory"),
             memory_updater=cfg.get("memory_updater", "gru"),
+            mailbox_slots=cfg.get("mailbox_slots", 1),
             compute_dtype=cfg.get("compute_dtype"),
             attention_impl=cfg.get("attention_impl", "xla"))
     return model, sampler_kwargs

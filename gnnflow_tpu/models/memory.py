@@ -28,15 +28,17 @@ from gnnflow_tpu.ops.segment import scatter_rows, unique_keep_last_mask
 class MemoryState(struct.PyTreeNode):
     """Per-node memory state (``memory.py:58-66``).
 
-    Packed as ONE row table ``data[N, dim_memory+1+dim_raw+1]`` holding
-    ``[mem | mem_ts | mail | mail_ts]`` per node — exactly the layout the
-    reference uses for partitioned memory rows (``kvstore.py:159-177``).
-    On TPU this turns the per-batch memory pull into a single row gather
-    (row gathers are per-row latency-bound, so fewer gathers >> narrower
-    rows); the four logical tensors are column views."""
+    Packed as ONE row table holding
+    ``[mem | mem_ts | mails (S*dim_raw) | mail_ts (S) | ptr]`` per node —
+    the layout the reference uses for partitioned memory rows
+    (``kvstore.py:159-177``), generalized to ``mailbox_slots = S`` mail
+    slots (S > 1 is the APAN-style circular mailbox; ``ptr`` is the
+    per-node write cursor).  On TPU this makes the per-batch memory pull
+    a single row gather; the logical tensors are column views."""
 
-    data: jax.Array                 # [N, dim_memory + 1 + dim_raw + 1]
+    data: jax.Array
     dim_memory: int = struct.field(pytree_node=False)
+    mailbox_slots: int = struct.field(pytree_node=False, default=1)
 
     @property
     def num_nodes(self) -> int:
@@ -44,7 +46,8 @@ class MemoryState(struct.PyTreeNode):
 
     @property
     def dim_raw(self) -> int:
-        return self.data.shape[1] - self.dim_memory - 2
+        s = self.mailbox_slots
+        return (self.data.shape[1] - self.dim_memory - 2 - s) // s
 
     # -- column views (the reference's four tensors) --------------------
 
@@ -58,19 +61,29 @@ class MemoryState(struct.PyTreeNode):
 
     @property
     def mailbox(self) -> jax.Array:
-        return self.data[:, self.dim_memory + 1: -1]
+        """[N, dim_raw] (S==1) or [N, S, dim_raw]."""
+        dm, s, dr = self.dim_memory, self.mailbox_slots, self.dim_raw
+        block = self.data[:, dm + 1: dm + 1 + s * dr]
+        return block if s == 1 else block.reshape(-1, s, dr)
 
     @property
     def mailbox_ts(self) -> jax.Array:
+        s = self.mailbox_slots
+        block = self.data[:, -1 - s: -1]
+        return block[:, 0] if s == 1 else block
+
+    @property
+    def mailbox_ptr(self) -> jax.Array:
         return self.data[:, -1]
 
 
 def init_memory(num_nodes: int, dim_memory: int, dim_edge: int,
-                dtype=jnp.float32) -> MemoryState:
+                dtype=jnp.float32, mailbox_slots: int = 1) -> MemoryState:
     dim_raw = 2 * dim_memory + dim_edge
+    cols = dim_memory + 1 + mailbox_slots * (dim_raw + 1) + 1
     return MemoryState(
-        data=jnp.zeros((num_nodes, dim_memory + 1 + dim_raw + 1), dtype),
-        dim_memory=dim_memory)
+        data=jnp.zeros((num_nodes, cols), dtype),
+        dim_memory=dim_memory, mailbox_slots=mailbox_slots)
 
 
 def reset_memory(state: MemoryState) -> MemoryState:
@@ -91,17 +104,26 @@ def backup_memory(state: MemoryState) -> Dict:
             dict(node_memory=state.node_memory,
                  node_memory_ts=state.node_memory_ts,
                  mailbox=state.mailbox,
-                 mailbox_ts=state.mailbox_ts).items()}
+                 mailbox_ts=state.mailbox_ts,
+                 mailbox_ptr=state.mailbox_ptr).items()}
 
 
 def restore_memory(backup: Dict) -> MemoryState:
     mem = jnp.asarray(backup["node_memory"])
+    mail = jnp.asarray(backup["mailbox"])
+    mail_ts = jnp.asarray(backup["mailbox_ts"])
+    slots = 1 if mail.ndim == 2 else mail.shape[1]
+    n = mem.shape[0]
+    ptr = jnp.asarray(backup.get("mailbox_ptr",
+                                 jnp.zeros((n,), mem.dtype)))
     data = jnp.concatenate([
         mem,
         jnp.asarray(backup["node_memory_ts"])[:, None],
-        jnp.asarray(backup["mailbox"]),
-        jnp.asarray(backup["mailbox_ts"])[:, None]], axis=1)
-    return MemoryState(data=data, dim_memory=mem.shape[1])
+        mail.reshape(n, -1),
+        mail_ts.reshape(n, -1),
+        ptr.reshape(n, 1)], axis=1)
+    return MemoryState(data=data, dim_memory=mem.shape[1],
+                       mailbox_slots=slots)
 
 
 def prepare_input(state: MemoryState, mfg: MFG) -> Dict[str, jax.Array]:
@@ -114,11 +136,20 @@ def prepare_input(state: MemoryState, mfg: MFG) -> Dict[str, jax.Array]:
     safe = jnp.clip(nids, 0, state.num_nodes - 1)
     rows = state.data[safe]
     dm = state.dim_memory
+    s, dr = state.mailbox_slots, state.dim_raw
+    n = rows.shape[0]
+    mails = rows[:, dm + 1: dm + 1 + s * dr]
+    mail_ts = rows[:, dm + 1 + s * dr: -1]
+    if s == 1:
+        return {"mem": rows[:, :dm], "mem_ts": rows[:, dm],
+                "mail": mails, "mail_ts": mail_ts[:, 0]}
     return {
         "mem": rows[:, :dm],
         "mem_ts": rows[:, dm],
-        "mail": rows[:, dm + 1: -1],
-        "mail_ts": rows[:, -1],
+        # most recent mail = slot (ptr-1) mod S; also expose all slots
+        "mail": mails.reshape(n, s, dr),
+        "mail_ts": mail_ts,
+        "mail_ptr": rows[:, -1],
     }
 
 
@@ -143,7 +174,14 @@ class GRUMemoryUpdater(nn.Module):
                  node_feats: Optional[jax.Array] = None
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         cdt = self.dtype or jnp.float32
-        mail = mem_input["mail"].astype(cdt)
+        mail = mem_input["mail"]
+        if mail.ndim == 3:
+            # multi-slot mailbox: the GRU consumes the latest mail
+            S = mail.shape[1]
+            slot = (mem_input["mail_ptr"].astype(jnp.int32) - 1) % S
+            sel = slot[:, None] == jnp.arange(S)[None, :]
+            mail = jnp.sum(jnp.where(sel[..., None], mail, 0), axis=1)
+        mail = mail.astype(cdt)
         mem = mem_input["mem"].astype(cdt)
         all_ts = mfg.all_ts()
 
@@ -196,27 +234,37 @@ class TransformerMemoryUpdater(nn.Module):
     def __call__(self, mfg: MFG, mem_input: Dict[str, jax.Array],
                  node_feats: Optional[jax.Array] = None,
                  train: bool = False):
-        mail = mem_input["mail"]
+        mail = mem_input["mail"]     # [n, dr] or [n, S, dr]
         mem = mem_input["mem"]
         all_ts = mfg.all_ts()
+        if mail.ndim == 2:
+            mail = mail[:, None, :]                        # S = 1
+            mail_ts = mem_input["mail_ts"][:, None]
+        else:
+            mail_ts = mem_input["mail_ts"]                 # [n, S]
+        n, S, dr = mail.shape
 
         x = mail
         if self.dim_time > 0:
-            tf = TimeEncode(self.dim_time)(all_ts - mem_input["mail_ts"])
-            x = jnp.concatenate([mail, tf], axis=-1)
+            tf = TimeEncode(self.dim_time)(all_ts[:, None] - mail_ts)
+            x = jnp.concatenate([mail, tf], axis=-1)       # [n, S, dr+dt]
 
-        q = Linear(self.dim_memory, name="w_q")(mem)
-        k = Linear(self.dim_memory, name="w_k")(x)
+        # memory queries attend over the S mail slots (TGL's APAN
+        # TransformerMemoryUpdater)
+        q = Linear(self.dim_memory, name="w_q")(mem)       # [n, dm]
+        k = Linear(self.dim_memory, name="w_k")(x)         # [n, S, dm]
         v = Linear(self.dim_memory, name="w_v")(x)
         H = self.att_head
         dh = self.dim_memory // H
-        att = jnp.sum(q.reshape(-1, H, dh) * k.reshape(-1, H, dh), -1) \
-            / jnp.sqrt(jnp.float32(dh))
-        att = jax.nn.softmax(att, axis=-1)
-        upd = (v.reshape(-1, H, dh) * att[..., None]).reshape(
-            -1, self.dim_memory)
-        upd = nn.LayerNorm(epsilon=1e-5)(
-            mem + nn.Dropout(self.dropout, deterministic=not train)(upd))
+        qh = q.reshape(n, 1, H, dh)
+        kh = k.reshape(n, S, H, dh)
+        vh = v.reshape(n, S, H, dh)
+        att = jnp.sum(qh * kh, -1) / jnp.sqrt(jnp.float32(dh))  # [n,S,H]
+        att = jax.nn.softmax(att, axis=1)
+        att = nn.Dropout(self.dropout, deterministic=not train)(att)
+        upd = jnp.sum(vh * att[..., None], axis=1).reshape(
+            n, self.dim_memory)
+        upd = nn.LayerNorm(epsilon=1e-5)(mem + upd)
 
         num_dst = mfg.num_dst
         last_updated = {
@@ -253,8 +301,8 @@ def update_mem_mail(state: MemoryState,
     mem_dst = last_updated_memory[b:2 * b]
 
     if edge_feats is None:
-        dim_edge = state.mailbox.shape[1] - 2 * state.dim_memory
-        edge_feats = jnp.zeros((b, dim_edge), state.mailbox.dtype)
+        dim_edge = state.dim_raw - 2 * state.dim_memory
+        edge_feats = jnp.zeros((b, dim_edge), state.data.dtype)
 
     src_mail = jnp.concatenate([mem_src, mem_dst, edge_feats], axis=1)
     dst_mail = jnp.concatenate([mem_dst, mem_src, edge_feats], axis=1)
@@ -274,14 +322,30 @@ def update_mem_mail(state: MemoryState,
 
     dm = state.dim_memory
     n = state.num_nodes
+    S, dr = state.mailbox_slots, state.dim_raw
     # NB: column-slice scatters are pathologically slow on TPU; instead
     # read-modify-write FULL rows (gather current row, replace the target
     # columns, scatter whole rows).
     win_mail = unique_keep_last_mask(nid, valid_inter)
     safe_mail = jnp.clip(nid, 0, n - 1)
     cur = state.data[safe_mail]
-    mail_rows = jnp.concatenate(
-        [cur[:, : dm + 1], mail, mail_ts[:, None]], axis=1)
+    if S == 1:
+        mail_rows = jnp.concatenate(
+            [cur[:, : dm + 1], mail, mail_ts[:, None], cur[:, -1:]],
+            axis=1)
+    else:
+        # APAN circular mailbox: write slot (ptr mod S), advance ptr
+        ptr = cur[:, -1].astype(jnp.int32)
+        slot = ptr % S
+        sel = slot[:, None] == jnp.arange(S)[None, :]
+        old_mails = cur[:, dm + 1: dm + 1 + S * dr].reshape(-1, S, dr)
+        old_mts = cur[:, dm + 1 + S * dr: -1]
+        new_mails = jnp.where(sel[..., None], mail[:, None, :],
+                              old_mails).reshape(-1, S * dr)
+        new_mts = jnp.where(sel, mail_ts[:, None], old_mts)
+        mail_rows = jnp.concatenate(
+            [cur[:, : dm + 1], new_mails, new_mts,
+             (ptr + 1).astype(cur.dtype)[:, None]], axis=1)
     data = state.data.at[jnp.where(win_mail, nid, n)].set(
         mail_rows, mode="drop")
 

@@ -111,7 +111,8 @@ class Trainer:
         memory = None
         if self.model.use_memory:
             memory = memory_lib.init_memory(
-                num_nodes, self.model.dim_memory, self.model.dim_edge)
+                num_nodes, self.model.dim_memory, self.model.dim_edge,
+                mailbox_slots=getattr(self.model, "mailbox_slots", 1))
             mem_input = memory_lib.prepare_input(memory, mfgs[0][0])
         # jit the whole init: eager op-by-op dispatch is pathologically
         # slow on remote-compile device tunnels

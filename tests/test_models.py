@@ -195,3 +195,49 @@ def test_dgnn_forward(cfg):
     if cfg["use_memory"]:
         assert last is not None
         assert last["last_updated_nid"].shape == (B,)
+
+
+def test_multislot_mailbox_circular_write():
+    """APAN circular mailbox: consecutive batches fill successive slots,
+    wrapping at S."""
+    S = 3
+    state = memory_lib.init_memory(8, 2, 0, mailbox_slots=S)
+    for step in range(4):
+        # batch: src=[1], dst=[2], neg=[3]
+        nid = jnp.array([1, 2, 3])
+        mem = jnp.full((3, 2), float(step + 1))
+        ts = jnp.full((3,), float(step))
+        state = memory_lib.update_mem_mail(state, nid, mem, ts)
+    mail = np.asarray(state.mailbox)        # [8, 3, 4]
+    ptr = np.asarray(state.mailbox_ptr)
+    assert ptr[1] == 4 and ptr[2] == 4 and ptr[0] == 0
+    # slots hold mails from steps (in write order 0,1,2 then wrap 3->slot 0)
+    # node 1's slot 0 was overwritten by step 3 (mem value 4.0)
+    np.testing.assert_allclose(mail[1, 0, 0], 4.0)
+    np.testing.assert_allclose(mail[1, 1, 0], 2.0)
+    np.testing.assert_allclose(mail[1, 2, 0], 3.0)
+    mts = np.asarray(state.mailbox_ts)
+    np.testing.assert_allclose(mts[1], [3.0, 1.0, 2.0])
+
+
+def test_apan_multislot_forward():
+    B, F = 6, 3
+    model = DGNN(dim_node=0, dim_edge=4, dim_time=8, dim_embed=8,
+                 att_head=2, dropout=0.0, att_dropout=0.0,
+                 num_layers=1, num_snapshots=1, use_memory=True,
+                 dim_memory=8, memory_updater="transformer",
+                 mailbox_slots=5)
+    mfgs = _sample_mfgs(1, 1, B, F)
+    efs = [[jnp.ones((m.num_dst, F, 4)) for m in layer] for layer in mfgs]
+    mem = memory_lib.init_memory(20, 8, 4, mailbox_slots=5)
+    mi = memory_lib.prepare_input(mem, mfgs[0][0])
+    assert mi["mail"].shape == (mfgs[0][0].num_all, 5, 20)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        mfgs, [None], efs, mi, train=True)
+    pos, neg, last = model.apply(params, mfgs, [None], efs, mi)
+    assert np.isfinite(np.asarray(pos)).all()
+    mem2 = memory_lib.update_mem_mail(
+        mem, last["last_updated_nid"], last["last_updated_memory"],
+        last["last_updated_ts"], edge_feats=jnp.ones((B // 3, 4)))
+    assert np.asarray(mem2.mailbox_ptr).max() == 1
