@@ -162,3 +162,19 @@ def test_scan_epoch_matches_per_step():
     s2, losses2 = trainer.train_steps_scan(s2, dg, None, ef, TN, TS, EI,
                                            VA)
     np.testing.assert_allclose(losses1, np.asarray(losses2), rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_apan_learns():
+    """APAN (transformer updater + 5-slot mailbox) link prediction."""
+    train, val, full, g, edge_feats = _setup()
+    model = DGNN(dim_node=0, dim_edge=16, dim_time=16, dim_embed=32,
+                 num_layers=1, num_snapshots=1, att_head=2,
+                 dropout=0.1, att_dropout=0.1, use_memory=True,
+                 dim_memory=32, memory_updater="transformer",
+                 mailbox_slots=5)
+    trainer = Trainer(model, fanouts=[10], sample_strategy="recent",
+                      lr=1e-3)
+    ap, auc = _run_training(model, trainer, train, val, full, g,
+                            edge_feats)
+    assert ap > 0.70, f"APAN AP too low: {ap}"
