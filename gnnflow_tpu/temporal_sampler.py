@@ -87,13 +87,17 @@ class TemporalSampler:
         ts = (np.full(np.shape(target_vertices), STATIC_TS, dtype=np.float32)
               if self._is_static else timestamps)
         g = self._graph.device_graph()
+        # colocate roots with the store (host-placement stores live on the
+        # CPU backend; the sampling program then runs there and MFGs are
+        # shipped to the accelerator by the feature-fetch stage)
+        dev = next(iter(g.e_ts.devices()))
         roots = np.asarray(target_vertices, dtype=np.int32)
         with_key = self._strategy == "uniform"
         fn = self._jitted_hops(self._search_iters(), with_key)
-        args = [g, jax.device_put(roots),
-                jax.device_put(np.asarray(ts, dtype=np.float32))]
+        args = [g, jax.device_put(roots, dev),
+                jax.device_put(np.asarray(ts, dtype=np.float32), dev)]
         if with_key:
-            args.append(self._next_key())
+            args.append(jax.device_put(self._next_key(), dev))
         return fn(*args)
 
     def sample_layer(self, target_vertices: np.ndarray,

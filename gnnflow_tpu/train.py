@@ -101,12 +101,29 @@ class Trainer:
                    node_feats: Optional[jax.Array],
                    edge_feats: Optional[jax.Array],
                    num_nodes: int) -> TrainState:
-        """Initialize params/opt/memory with a dummy batch."""
+        """Initialize params/opt/memory with a dummy batch.
+
+        ``node_feats``/``edge_feats`` may be None even when the model has
+        feature dims (the prefetched/cache mode — e.g. host-resident
+        tables): zero dummies of the right shape are used for shape
+        inference."""
         b3 = batch_size * (2 + self.neg_ratio)
         roots = jnp.zeros((b3,), jnp.int32)
         ts = jnp.zeros((b3,), jnp.float32)
         mfgs = self._sample(dg, roots, ts, key)
+        # normalize to the default (accelerator) device — host-placement
+        # stores sample on the CPU backend
+        dev = jax.devices()[0]
+        if next(iter(mfgs[0][0].root_nids.devices())) != dev:
+            mfgs = jax.device_put(mfgs, dev)
         nfs, efs = fetch_features(mfgs, node_feats, edge_feats)
+        dim_node = getattr(self.model, "dim_node", 0)
+        dim_edge = getattr(self.model, "dim_edge", 0)
+        if node_feats is None and dim_node > 0:
+            nfs = [jnp.zeros((m.num_all, dim_node)) for m in mfgs[0]]
+        if edge_feats is None and dim_edge > 0:
+            efs = [[jnp.zeros((m.num_dst, m.fanout, dim_edge))
+                    for m in layer] for layer in mfgs]
         mem_input = None
         memory = None
         if self.model.use_memory:
@@ -239,6 +256,11 @@ class Trainer:
 
     def train_step_prefetched(self, state, mfgs, nfs, efs, tef, batch,
                               train=True):
+        # MFGs may live on the CPU backend (host-placement stores); move
+        # them to the default (accelerator) device for the fused step
+        dev = jax.devices()[0]
+        if next(iter(mfgs[0][0].root_nids.devices())) != dev:
+            mfgs = jax.device_put(mfgs, dev)
         return self._pre_step(
             state, mfgs, nfs, efs, tef,
             jnp.asarray(batch.eids, jnp.int32), _valid_mask(batch), train)

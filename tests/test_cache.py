@@ -131,3 +131,37 @@ def test_training_through_cache_path():
         assert np.isfinite(float(loss))
         if i >= 2:
             break
+
+
+def test_host_storage_hybrid_training():
+    """'unified'-memory analogue: graph store host-resident (sampled on
+    the CPU backend), features cache-fed, model on the default device."""
+    train, full, g, nf, ef = _graph_and_feats()
+    ghost = DynamicGraph(initial_pool_size=4096,
+                         maximum_pool_size=1 << 22,
+                         mem_resource_type="unified",  # -> host placement
+                         minimum_block_size=8, insertion_policy="insert")
+    ghost.add_edges(full.src, full.dst, full.time, full.eid,
+                    add_reverse=True)
+    sampler = TemporalSampler(ghost, fanouts=[5])
+    num_nodes = ghost.max_vertex_id() + 1
+    cache = LRUCache(edge_cache_ratio=0.3, node_cache_ratio=0.3,
+                     num_nodes=num_nodes, num_edges=len(full),
+                     node_feats=nf, edge_feats=ef)
+    cache.init_cache()
+    model = DGNN(dim_node=6, dim_edge=8, dim_time=8, dim_embed=16,
+                 num_layers=1, num_snapshots=1, att_head=2, dropout=0.1,
+                 att_dropout=0.1, use_memory=True, dim_memory=16)
+    trainer = Trainer(model, fanouts=[5], lr=1e-3)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               ghost.device_graph(), 100, None, None,
+                               num_nodes=num_nodes)
+    neg = DstRandEdgeSampler(train.dst, seed=1)
+    for i, batch in enumerate(get_batches(train, 100, neg)):
+        mfgs = sampler.sample(batch.target_nodes, batch.ts)
+        nfs, efs = cache.fetch_feature(mfgs, batch.eids)
+        state, loss, _, _ = trainer.train_step_prefetched(
+            state, mfgs, nfs, efs, cache.target_edge_features, batch)
+        assert np.isfinite(float(loss))
+        if i >= 2:
+            break
