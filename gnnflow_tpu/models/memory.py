@@ -190,11 +190,9 @@ class GRUMemoryUpdater(nn.Module):
             tf = TimeEncode(self.dim_time)(all_ts - mem_input["mem_ts"])
             x = jnp.concatenate([mail, tf.astype(cdt)], axis=-1)
 
-        updated = nn.GRUCell(
-            features=self.dim_memory,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.variance_scaling(
-                1.0 / 3.0, "fan_in", "uniform"))(mem, x)[0]
+        from gnnflow_tpu.models.modules import FusedGRUCell
+        updated = FusedGRUCell(features=self.dim_memory,
+                               dtype=self.dtype)(mem, x)
         updated = updated.astype(jnp.float32)
 
         num_dst = mfg.num_dst

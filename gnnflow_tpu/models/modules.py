@@ -62,6 +62,37 @@ class Linear(nn.Module):
         return y
 
 
+class FusedGRUCell(nn.Module):
+    """GRU cell with fused 3-gate projections (torch.nn.GRUCell math).
+
+    flax's GRUCell issues one Dense per gate per operand (6 matmuls, 3
+    reads of the wide input); here ``x`` and ``h`` are each read once
+    through a single 3-gate-wide matmul — the step is bandwidth-bound, so
+    this matters at 100k+ rows.
+
+        r = sigmoid(x@Wir + bir + h@Whr + bhr)
+        z = sigmoid(x@Wiz + biz + h@Whz + bhz)
+        n = tanh  (x@Win + bin + r * (h@Whn + bhn))
+        h' = (1 - z) * n + z * h
+    """
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, h, x):
+        f = self.features
+        gi = Linear(3 * f, name="ih", dtype=self.dtype)(x)
+        gh = Linear(3 * f, name="hh", dtype=self.dtype)(h)
+        i_r, i_z, i_n = gi[..., :f], gi[..., f:2 * f], gi[..., 2 * f:]
+        h_r, h_z, h_n = gh[..., :f], gh[..., f:2 * f], gh[..., 2 * f:]
+        r = nn.sigmoid(i_r + h_r)
+        z = nn.sigmoid(i_z + h_z)
+        n = nn.tanh(i_n + r * h_n)
+        h = h.astype(n.dtype) if self.dtype is not None else h
+        return (1.0 - z) * n + z * h
+
+
 class TimeEncode(nn.Module):
     """TGAT fixed-frequency time encoding: ``cos(w * dt + b)`` with
     ``w = 1/10^linspace(0, 9, d)`` (``layers.py:16-35``).  Trainable."""
@@ -157,8 +188,9 @@ class TemporalAttentionLayer(nn.Module):
             Q = Linear(self.dim_out, name="w_q", dtype=self.dtype)(q_in)
         else:
             Q = q_in  # identity (layers.py:76-79)
-        K = Linear(self.dim_out, name="w_k", dtype=self.dtype)(kv_in)
-        V = Linear(self.dim_out, name="w_v", dtype=self.dtype)(kv_in)
+        # fused K/V projection: one read of the (wide) kv_in instead of two
+        KV = Linear(2 * self.dim_out, name="w_kv", dtype=self.dtype)(kv_in)
+        K, V = KV[..., : self.dim_out], KV[..., self.dim_out:]
 
         H = self.num_head
         dh = self.dim_out // H
