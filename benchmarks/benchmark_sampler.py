@@ -65,24 +65,25 @@ def main():
     for name, cfg in configs:
         key = jax.random.PRNGKey(0)
 
-        def run(k):
+        @jax.jit
+        def run(k, _cfg=tuple(sorted(cfg.items()))):
             return sample_hops(dg, roots, ts, search_iters=iters, key=k,
-                               **cfg)
+                               **dict(_cfg))
 
         out = run(key)  # compile
-        jax.block_until_ready(out[0][0].nbr_nids)
-        # dispatch a pipelined burst per repeat so host->device dispatch
-        # latency amortizes (as it does inside the fused train step)
-        burst = 20
-        times = []
         edges = sum(int(m.num_sampled_edges()) for layer in out
                     for m in layer)
+        # dispatch a pipelined burst per repeat so host->device dispatch
+        # latency amortizes (as inside the fused train step); end each
+        # burst with a real VALUE fetch (block_until_ready can return
+        # early on tunneled runtimes)
+        burst = 20
+        times = []
         for r in range(args.repeats):
             t0 = time.time()
             outs = [run(jax.random.fold_in(key, r * burst + i))
                     for i in range(burst)]
-            for o in outs:
-                jax.block_until_ready(o[0][0].nbr_nids)
+            float(outs[-1][0][0].nbr_nids.sum())
             times.append((time.time() - t0) / burst)
         times = np.array(times)
         v_per_s = b3 / times.mean()
