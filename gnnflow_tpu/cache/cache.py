@@ -18,7 +18,7 @@ running ``cache_node_ratio`` / ``cache_edge_ratio`` hit-rate metrics.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

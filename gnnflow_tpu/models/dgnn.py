@@ -15,7 +15,7 @@ Functional differences from the reference (TPU design):
   return)."""
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -3,7 +3,7 @@ entry (the counterpart of the model-construction switch in
 ``scripts/offline_edge_prediction.py:258-270``)."""
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 from gnnflow_tpu.models.dgnn import DGNN
 from gnnflow_tpu.models.static import GAT, SAGE

@@ -22,7 +22,7 @@ from flax import struct
 
 from gnnflow_tpu.common import MFG
 from gnnflow_tpu.models.modules import Linear, TimeEncode
-from gnnflow_tpu.ops.segment import scatter_rows, unique_keep_last_mask
+from gnnflow_tpu.ops.segment import unique_keep_last_mask
 
 
 class MemoryState(struct.PyTreeNode):
