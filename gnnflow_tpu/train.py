@@ -112,9 +112,11 @@ class Trainer:
         ts = jnp.zeros((b3,), jnp.float32)
         mfgs = self._sample(dg, roots, ts, key)
         # normalize to the default (accelerator) device — host-placement
-        # stores sample on the CPU backend
+        # stores sample on the CPU backend.  Never touch sharded
+        # (multi-device) MFGs.
+        devs = mfgs[0][0].root_nids.devices()
         dev = jax.devices()[0]
-        if next(iter(mfgs[0][0].root_nids.devices())) != dev:
+        if len(devs) == 1 and next(iter(devs)) != dev:
             mfgs = jax.device_put(mfgs, dev)
         nfs, efs = fetch_features(mfgs, node_feats, edge_feats)
         dim_node = getattr(self.model, "dim_node", 0)
@@ -257,9 +259,11 @@ class Trainer:
     def train_step_prefetched(self, state, mfgs, nfs, efs, tef, batch,
                               train=True):
         # MFGs may live on the CPU backend (host-placement stores); move
-        # them to the default (accelerator) device for the fused step
+        # them to the default (accelerator) device for the fused step.
+        # Never touch sharded (multi-device) MFGs.
+        devs = mfgs[0][0].root_nids.devices()
         dev = jax.devices()[0]
-        if next(iter(mfgs[0][0].root_nids.devices())) != dev:
+        if len(devs) == 1 and next(iter(devs)) != dev:
             mfgs = jax.device_put(mfgs, dev)
         return self._pre_step(
             state, mfgs, nfs, efs, tef,
