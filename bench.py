@@ -27,8 +27,20 @@ BASELINE_SAMPLES_PER_SEC = 200_000.0  # est. GNNFlow/TGL, TGN-REDDIT, 1xA100
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: cold-process compiles over the remote
+    # tunnel take minutes; cached executables load in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
 
     from gnnflow_tpu.data import (DstRandEdgeSampler, get_batches,
                                   make_synthetic_dataset)
