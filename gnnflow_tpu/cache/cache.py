@@ -264,6 +264,15 @@ class Cache:
         """Admit misses / adjust recency state.  Overridden per policy."""
         raise NotImplementedError
 
+    def reset(self) -> None:
+        """Zero the hit/total counters so logged hit ratios are per-epoch
+        rates, not lifetime averages (the reference calls ``cache.reset()``
+        at each epoch start, ``offline_edge_prediction.py:357``)."""
+        for kind in (self.node_cache, self.edge_cache):
+            if kind is not None:
+                kind.hits = 0
+                kind.total = 0
+
     # -- fetch ----------------------------------------------------------
 
     @property

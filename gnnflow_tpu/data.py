@@ -291,19 +291,23 @@ class Batch:
 
 
 def _pad_batch(src, dst, neg, ts, eid, batch_size: int) -> Batch:
+    """``neg`` is ``[r, n]`` (r negative blocks) or ``[n]`` (r == 1)."""
     n = len(src)
+    neg = np.atleast_2d(np.asarray(neg, dtype=np.int64))
     if n < batch_size:
         pad = batch_size - n
         pad_nid = np.full(pad, -1, dtype=np.int64)
         pad_ts = np.zeros(pad, dtype=np.float32)
         src = np.concatenate([src, pad_nid])
         dst = np.concatenate([dst, pad_nid])
-        neg = np.concatenate([neg, pad_nid])
+        neg = np.concatenate(
+            [neg, np.full((neg.shape[0], pad), -1, np.int64)], axis=1)
         ts = np.concatenate([ts, pad_ts])
         eid = np.concatenate([eid, np.zeros(pad, dtype=np.int64)])
-    target_nodes = np.concatenate([src, dst, neg])
-    ts3 = np.concatenate([ts, ts, ts])
-    return Batch(target_nodes.astype(np.int64), ts3.astype(np.float32),
+    r = neg.shape[0]
+    target_nodes = np.concatenate([src, dst, neg.reshape(-1)])
+    ts_all = np.tile(ts, 2 + r)
+    return Batch(target_nodes.astype(np.int64), ts_all.astype(np.float32),
                  eid.astype(np.int64), n)
 
 
@@ -312,17 +316,25 @@ def get_batches(data: EdgeTable, batch_size: int,
                 num_chunks: int = 0,
                 rng: Optional[np.random.RandomState] = None,
                 pad: bool = True,
-                rank: int = 0, world_size: int = 1) -> Iterator[Batch]:
+                rank: int = 0, world_size: int = 1,
+                neg_sample_ratio: int = 1,
+                interleave_indices: bool = False) -> Iterator[Batch]:
     """Iterate fixed-size batches over a chronological edge table.
 
     ``num_chunks > 0`` enables the reference's random epoch start: skip a
     random multiple of ``batch_size // num_chunks`` edges at the front
     (``RandomStartBatchSampler.reset``, ``gnnflow/data.py:108-117``).
 
-    ``world_size > 1`` round-robins batches across ranks, the TPU counterpart
-    of ``DistributedBatchSampler``'s ``idx % world_size == rank`` filtering
-    (``gnnflow/data.py:154-171`` keeps every world_size-th *index*; we keep
-    every world_size-th *batch* which preserves chronology per rank).
+    ``world_size > 1`` splits batches across ranks.  Two modes:
+
+    - ``interleave_indices=True`` — exact ``DistributedBatchSampler``
+      semantics (``gnnflow/data.py:154-171``): rank r takes every
+      world_size-th *index* (``idx % world_size == rank``) and packs
+      batch_size of them per batch.
+    - default — round-robin whole *batches* across ranks, which keeps each
+      rank's stream chronological (the natural fit for GSPMD
+      batch-sharding, where per-device sub-batches come from one global
+      batch anyway).
     """
     start = 0
     if num_chunks > 0:
@@ -330,22 +342,31 @@ def get_batches(data: EdgeTable, batch_size: int,
             rng = np.random.RandomState()
         start = rng.randint(0, num_chunks) * (batch_size // num_chunks)
     n = len(data)
-    batch_idx = 0
-    for lo in range(start, n, batch_size):
-        hi = min(lo + batch_size, n)
-        take = (batch_idx % world_size) == rank
-        batch_idx += 1
-        if not take:
-            continue
-        src = data.src[lo:hi]
-        dst = data.dst[lo:hi]
-        ts = data.time[lo:hi]
-        eid = data.eid[lo:hi]
+
+    def batch_index_arrays():
+        if interleave_indices and world_size > 1:
+            idx = np.arange(start + ((rank - start) % world_size), n,
+                            world_size)
+            for lo in range(0, len(idx), batch_size):
+                yield idx[lo: lo + batch_size]
+        else:
+            batch_idx = 0
+            for lo in range(start, n, batch_size):
+                take = (batch_idx % world_size) == rank
+                batch_idx += 1
+                if take:
+                    yield np.arange(lo, min(lo + batch_size, n))
+
+    for sel in batch_index_arrays():
+        src = data.src[sel]
+        dst = data.dst[sel]
+        ts = data.time[sel]
+        eid = data.eid[sel]
+        k = len(sel)
         if neg_sampler is not None:
-            neg = neg_sampler.sample(hi - lo)
+            neg = neg_sampler.sample(
+                neg_sample_ratio * k).reshape(neg_sample_ratio, k)
         else:
-            neg = np.full(hi - lo, -1, dtype=np.int64)
-        if pad:
-            yield _pad_batch(src, dst, neg, ts, eid, batch_size)
-        else:
-            yield _pad_batch(src, dst, neg, ts, eid, hi - lo)
+            neg = np.full((neg_sample_ratio, k), -1, dtype=np.int64)
+        yield _pad_batch(src, dst, neg, ts, eid,
+                         batch_size if pad else k)

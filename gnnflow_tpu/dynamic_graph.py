@@ -103,7 +103,7 @@ class DynamicGraph:
             maximum_pool_size: int = 1 << 26,
             mem_resource_type: str = "hbm",
             minimum_block_size: int = 16,
-            blocks_to_preallocate: int = 0,   # accepted for parity; unused
+            blocks_to_preallocate: int = 0,
             insertion_policy: str = "insert",
             source_vertices: Optional[np.ndarray] = None,
             target_vertices: Optional[np.ndarray] = None,
@@ -128,8 +128,12 @@ class DynamicGraph:
         self.maximum_pool_size = int(maximum_pool_size)
         self.spill_dir = spill_dir or os.path.join(".", "graph_spill")
 
-        # Pools (host mirror).
-        cap = _next_pow2(max(int(initial_pool_size), 1024))
+        # Pools (host mirror).  ``blocks_to_preallocate`` grows the initial
+        # pool by that many minimum-size regions (the reference pre-creates
+        # that many empty blocks at init, temporal_block_allocator.cu).
+        cap = _next_pow2(max(
+            int(initial_pool_size), 1024,
+            int(blocks_to_preallocate) * self.minimum_block_size))
         self._pool_cap = cap
         self._dst = np.zeros(cap, dtype=np.int32)
         self._ts = np.zeros(cap, dtype=np.float32)
@@ -284,7 +288,14 @@ class DynamicGraph:
         if need.any():
             vs = uniq[need]
             grow_len = new_len[need]
-            if self.adaptive_block_size:
+            if self.insertion_policy == "replace":
+                # REPLACE reallocates the (single) block exact-fit in
+                # place instead of chaining a new adaptively-sized block
+                # (dynamic_graph.cu:262-267 → Reallocate →
+                # AlignUp(size), temporal_block_allocator.cu:83-132).
+                # No edges are lost; only the capacity heuristic differs.
+                caps = np.maximum(grow_len, self.minimum_block_size)
+            elif self.adaptive_block_size:
                 caps = np.maximum(
                     self.minimum_block_size,
                     2 ** np.ceil(np.log2(np.maximum(grow_len, 1)))

@@ -60,6 +60,7 @@ class DGNN(nn.Module):
     mailbox_slots: int = 1        # >1: APAN-style circular mailbox
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" mixed precision
     attention_impl: str = "xla"          # "xla" | "pallas"
+    neg_sample_ratio: int = 1            # negatives per positive edge
 
     def setup(self):
         cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype \
@@ -101,6 +102,7 @@ class DGNN(nn.Module):
         if self.num_snapshots > 1:
             self.combiner = SimpleRNNCell(self.dim_embed, name="combiner")
         self.edge_predictor = EdgePredictor(self.dim_embed,
+                                            neg_ratio=self.neg_sample_ratio,
                                             name="edge_predictor")
 
     def __call__(self, mfgs: List[List[MFG]],

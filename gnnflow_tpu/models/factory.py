@@ -48,5 +48,7 @@ def build_model(name: str, model_config: dict, dim_node: int,
             memory_updater=cfg.get("memory_updater", "gru"),
             mailbox_slots=cfg.get("mailbox_slots", 1),
             compute_dtype=cfg.get("compute_dtype"),
-            attention_impl=cfg.get("attention_impl", "xla"))
+            attention_impl=cfg.get("attention_impl", "xla"),
+            neg_sample_ratio=cfg.get("neg_sample_ratio", 1))
+        sampler_kwargs["neg_sample_ratio"] = cfg.get("neg_sample_ratio", 1)
     return model, sampler_kwargs

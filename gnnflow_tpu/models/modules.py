@@ -230,20 +230,32 @@ class TemporalAttentionLayer(nn.Module):
 
 class EdgePredictor(nn.Module):
     """Edge prediction head (``layers.py:171-197``): split embeddings into
-    (src, pos_dst, neg_dst) thirds; score = out_fc(relu(src_fc(s)+dst_fc(d)))."""
+    (src, pos_dst, neg_dst…) blocks; score = out_fc(relu(src_fc(s)+dst_fc(d))).
+
+    ``neg_ratio`` generalizes the reference's ``tensor_split(3)`` to
+    ``tensor_split(2 + ratio)`` (as its memory write-back does,
+    ``memory.py:212-223``): ``h`` is ``[(2+r)·B, d]`` and the returned
+    negative logits are ``[r·B, 1]`` (each negative scored against the
+    tiled source block)."""
 
     dim_embed: int
+    neg_ratio: int = 1
 
     @nn.compact
     def __call__(self, h: jax.Array):
-        src_h, pos_h, neg_h = jnp.split(h, 3, axis=0)
+        b = h.shape[0] // (2 + self.neg_ratio)
+        src_h, pos_h, neg_h = h[:b], h[b:2 * b], h[2 * b:]
         src_fc = Linear(self.dim_embed, name="src_fc")
         dst_fc = Linear(self.dim_embed, name="dst_fc")
         out_fc = Linear(1, name="out_fc")
         s = src_fc(src_h)
         p = dst_fc(pos_h)
         n = dst_fc(neg_h)
-        return out_fc(nn.relu(s + p)), out_fc(nn.relu(s + n))
+        if self.neg_ratio > 1:
+            s_neg = jnp.tile(s, (self.neg_ratio, 1))
+        else:
+            s_neg = s
+        return out_fc(nn.relu(s + p)), out_fc(nn.relu(s_neg + n))
 
 
 class MLP(nn.Module):

@@ -24,6 +24,21 @@ import numpy as np
 UNASSIGNED = -1
 
 
+def _hash_vertices(vertices, num_partitions: int) -> np.ndarray:
+    """Deterministic vertex-id hash (splitmix64 finalizer).
+
+    The reference uses Python's salted ``hash(str(v))``
+    (``partition.py:312-326``), which differs across processes; partition
+    tables here may be persisted (``gen_partition_table.py``) and reloaded
+    elsewhere, so the hash must be process-independent."""
+    with np.errstate(over="ignore"):
+        x = np.asarray(vertices, dtype=np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(num_partitions)).astype(np.int8)
+
+
 @dataclass
 class Partition:
     """One partition's edge set (``partition.py:10-18``)."""
@@ -203,8 +218,7 @@ class HashPartitioner(Partitioner):
     """Hash of the vertex id (``partition.py:312-326``)."""
 
     def _assign_vertices(self, vertices, dst_lists, ts_lists):
-        return np.array([hash(str(int(v))) % self._num_partitions
-                         for v in vertices], dtype=np.int8)
+        return _hash_vertices(vertices, self._num_partitions)
 
 
 class RoundRobinPartitioner(Partitioner):
@@ -381,8 +395,7 @@ class StaticPartitioner(Partitioner):
     fall back to hash."""
 
     def _assign_vertices(self, vertices, dst_lists, ts_lists):
-        return np.array([hash(str(int(v))) % self._num_partitions
-                         for v in vertices], dtype=np.int8)
+        return _hash_vertices(vertices, self._num_partitions)
 
 
 def get_partitioner(partition_strategy: str, num_partitions: int,

@@ -44,6 +44,19 @@ def bce_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
         + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+def link_pred_loss(pos: jax.Array, neg: jax.Array, valid: jax.Array,
+                   neg_ratio: int = 1) -> jax.Array:
+    """Masked mean(BCE(pos, 1)) + mean(BCE(neg, 0)) — the reference's
+    ``criterion(pos) + criterion(neg)`` with padded rows excluded.
+    ``neg`` may hold ``neg_ratio`` negatives per positive ([r·B, 1])."""
+    w = valid.astype(jnp.float32)[:, None]
+    wn = jnp.tile(w, (neg_ratio, 1)) if neg_ratio > 1 else w
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    return (jnp.sum(bce_with_logits(pos, jnp.ones_like(pos)) * w) / denom
+            + jnp.sum(bce_with_logits(neg, jnp.zeros_like(neg)) * wn)
+            / (denom * neg_ratio))
+
+
 def _gather_rows(table: Optional[jax.Array], ids: jax.Array,
                  valid: jax.Array) -> Optional[jax.Array]:
     """Feature gather with padded-id masking (invalid rows zeroed)."""
@@ -88,6 +101,11 @@ class Trainer:
         self.is_static = bool(is_static)
         self.tx = optimizer if optimizer is not None else optax.adam(lr)
         self.neg_ratio = int(neg_sample_ratio)
+        model_ratio = int(getattr(model, "neg_sample_ratio", 1))
+        if model_ratio != self.neg_ratio:
+            raise ValueError(
+                f"model neg_sample_ratio={model_ratio} != trainer "
+                f"neg_sample_ratio={self.neg_ratio}")
 
         self._train_step = jax.jit(self._step, static_argnums=(8,),
                                    donate_argnums=(0,))
@@ -179,11 +197,7 @@ class Trainer:
             pos, neg, last = self.model.apply(
                 {"params": params}, mfgs, nfs, efs, mem_input,
                 train=train, rngs={"dropout": kdrop})
-            w = valid.astype(jnp.float32)[:, None]
-            denom = jnp.maximum(jnp.sum(w), 1.0)
-            loss = (jnp.sum(bce_with_logits(pos, jnp.ones_like(pos)) * w)
-                    + jnp.sum(bce_with_logits(neg, jnp.zeros_like(neg))
-                              * w)) / denom
+            loss = link_pred_loss(pos, neg, valid, self.neg_ratio)
             return loss, (pos, neg, last)
 
         if train:
@@ -225,11 +239,7 @@ class Trainer:
             pos, neg, last = self.model.apply(
                 {"params": params}, mfgs, nfs, efs, mem_input,
                 train=train, rngs={"dropout": kdrop})
-            w = valid.astype(jnp.float32)[:, None]
-            denom = jnp.maximum(jnp.sum(w), 1.0)
-            loss = (jnp.sum(bce_with_logits(pos, jnp.ones_like(pos)) * w)
-                    + jnp.sum(bce_with_logits(neg, jnp.zeros_like(neg))
-                              * w)) / denom
+            loss = link_pred_loss(pos, neg, valid, self.neg_ratio)
             return loss, (pos, neg, last)
 
         if train:
@@ -303,6 +313,34 @@ class Trainer:
             jnp.asarray(batch.ts, jnp.float32),
             jnp.asarray(batch.eids, jnp.int32),
             _valid_mask(batch), True)
+
+    def embed_step(self, state, dg, node_feats, edge_feats, batch):
+        """Compute target-node embeddings (``model(..., return_embed)``)
+        for a batch — the reference's per-window embedding dump for t-SNE
+        (``scripts/inference.py:173-232``).  Read-only: memory is not
+        written back.  Returns ``[(2+r)·B, dim_embed]``."""
+        if not hasattr(self, "_embed_fn"):
+            def run(state, dg, nf, ef, target_nodes, ts):
+                key, kdrop, ksample = jax.random.split(state.key, 3)
+                sample_ts = (jnp.full_like(ts, np.float32(3.4e38))
+                             if self.is_static else ts)
+                mfgs = self._sample(dg, target_nodes.astype(jnp.int32),
+                                    sample_ts, ksample)
+                nfs, efs = fetch_features(mfgs, nf, ef)
+                mem_input = None
+                if self.model.use_memory:
+                    mem_input = memory_lib.prepare_input(
+                        state.memory, mfgs[0][0])
+                embed, _ = self.model.apply(
+                    {"params": state.params}, mfgs, nfs, efs, mem_input,
+                    train=False, return_embed=True,
+                    rngs={"dropout": kdrop})
+                return embed
+            self._embed_fn = jax.jit(run)
+        return self._embed_fn(
+            state, dg, node_feats, edge_feats,
+            jnp.asarray(batch.target_nodes, jnp.int32),
+            jnp.asarray(batch.ts, jnp.float32))
 
     def eval_step(self, state, dg, node_feats, edge_feats, batch):
         return self._train_step(

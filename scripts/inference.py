@@ -36,7 +36,9 @@ parser.add_argument("--time-windows", type=float, nargs="*", default=[0],
                     help="snapshot time windows to sweep")
 parser.add_argument("--batch-size", type=int, default=None)
 parser.add_argument("--dump-embeddings", default=None,
-                    help="npz path for final-batch embeddings")
+                    help="npz path: per-window node embeddings (+ scores), "
+                         "the reference's t-SNE input "
+                         "(inference.py:173-232)")
 args = parser.parse_args()
 
 logging.basicConfig(level=logging.INFO,
@@ -80,6 +82,7 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "..",
         f"{args.model}.ckpt")
 
+    dump = {}
     for window in args.time_windows:
         cfg = dict(model_config)
         if window:
@@ -116,9 +119,27 @@ def main():
         auc = roc_auc_score(t, y)
         logging.info("window %s: test ap %.4f auc %.4f", window, ap, auc)
 
+        if args.dump_embeddings:
+            # actual node embeddings via return_embed=True — the t-SNE
+            # input of the reference (inference.py:173-232); one
+            # (nids, embeddings) pair per swept window
+            embeds, nids = [], []
+            for batch in get_batches(test, batch_size, neg):
+                e = np.asarray(trainer.embed_step(state, dg, nfj, efj,
+                                                  batch))
+                k = batch.num_valid
+                b = batch.batch_size
+                embeds += [e[:k], e[b: b + k]]          # src + dst blocks
+                nids += [batch.target_nodes[:k],
+                         batch.target_nodes[b: b + k]]
+            dump[f"embeddings_w{window}"] = np.concatenate(embeds)
+            dump[f"nids_w{window}"] = np.concatenate(nids)
+            dump[f"scores_w{window}"] = y
+            dump[f"labels_w{window}"] = t
+
     if args.dump_embeddings:
-        np.savez(args.dump_embeddings, scores=y, labels=t)
-        logging.info("saved raw scores to %s", args.dump_embeddings)
+        np.savez(args.dump_embeddings, **dump)
+        logging.info("saved embeddings to %s", args.dump_embeddings)
 
 
 if __name__ == "__main__":

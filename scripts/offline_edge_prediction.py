@@ -203,6 +203,14 @@ def main():
         epoch_start = time.time()
         total_samples = 0
         it = 0
+        if cache is not None:
+            cache.reset()
+        # the reference resets TGN memory/mailbox at every epoch start
+        # after the first (model.reset(), offline_edge_prediction.py:355-363)
+        # so validation-pass state never leaks into the next train epoch
+        if epoch > 0 and state.memory is not None:
+            state = state.replace(
+                memory=memory_lib.reset_memory(state.memory))
         if args.use_scan and cache is None:
             # stage the epoch's batches, run it as one dispatch
             with timer("stage"):

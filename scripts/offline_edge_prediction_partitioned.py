@@ -133,9 +133,15 @@ def main():
     val_data = full[int(np.searchsorted(ext_roll, 1)):
                     int(np.searchsorted(ext_roll, 2))]
 
+    import gnnflow_tpu.models.memory as memory_lib
     for epoch in range(args.epoch):
         t0 = time.time()
         total = 0
+        # reference protocol: reset TGN memory at each epoch start after
+        # the first (offline_edge_prediction.py:355-363)
+        if epoch > 0 and state.memory is not None:
+            state = state.replace(
+                memory=memory_lib.reset_memory(state.memory))
         for batch in get_batches(train_data, batch_size, train_neg,
                                  rng=rng):
             state, loss, _, _ = trainer.train_step(
