@@ -100,16 +100,33 @@ def mfgs_to_host(mfgs):
 
 
 class _KindCache:
-    """Cache state for one feature kind (node or edge)."""
+    """Cache state for one feature kind (node or edge).
+
+    The master copy behind the cache is either a host numpy table (the
+    single-host mode: misses stream host→device) or a mesh-sharded
+    device table (the distributed mode: misses become sharded gathers —
+    the reference routes misses to the KV store by partition,
+    ``cache.py:364-377``).  Pass a :class:`ShardedTable`-like object (has
+    ``.pull``) as ``table`` for the latter."""
 
     def __init__(self, capacity: int, num_ids: int, dim: int,
-                 table: np.ndarray):
+                 table):
         self.capacity = int(capacity)
         self.num_ids = int(num_ids)
         self.dim = int(dim)
-        self.table = table                       # host master [N, dim]
-        self.buffer = jnp.zeros((max(self.capacity, 1), dim),
-                                jnp.float32)     # HBM
+        self.distributed = hasattr(table, "pull")
+        self.table = table                       # master [N, dim]
+        if self.distributed:
+            # replicate the HBM cache buffer over the table's mesh so
+            # assembled fetches compose with mesh-sharded miss pulls
+            from jax.sharding import PartitionSpec as _P
+            from gnnflow_tpu.parallel.kvstore import put_global
+            self.buffer = put_global(
+                np.zeros((max(self.capacity, 1), dim), np.float32),
+                table.mesh, _P())
+        else:
+            self.buffer = jnp.zeros((max(self.capacity, 1), dim),
+                                    jnp.float32)     # HBM
         self.flag = np.zeros(num_ids, dtype=bool)
         self.map = np.full(num_ids, -1, dtype=np.int64)      # id -> slot
         self.rmap = np.full(max(self.capacity, 1), -1,
@@ -121,8 +138,28 @@ class _KindCache:
     def hit_ratio(self) -> float:
         return self.hits / self.total if self.total else 0.0
 
+    def _pull(self, ids: np.ndarray, pad_to_n: int = 0):
+        """Fetch master rows for ``ids`` (optionally zero-padded to
+        ``pad_to_n`` rows).  Host table → numpy rows; sharded table →
+        one device gather (the KV-routed miss path, ``cache.py:364-377``)."""
+        k = len(ids)
+        n = max(pad_to_n, k)
+        if self.distributed:
+            idsp = np.zeros(n, np.int64)
+            idsp[:k] = ids
+            rows = self.table.pull(jnp.asarray(idsp))
+            if k < n:
+                m = jnp.zeros((n, 1), rows.dtype).at[:k].set(1.0)
+                rows = rows * m
+            return rows
+        rows = np.zeros((n, self.dim), np.float32)
+        if k:
+            rows[:k] = self.table[ids]
+        return rows
+
     def seed(self, ids: np.ndarray) -> None:
-        """Pre-fill the cache with ``ids`` (first-k / presampled top-k)."""
+        """Pre-fill the cache with ``ids`` (first-k / presampled top-k,
+        ``cache.py:161-173``)."""
         ids = np.asarray(ids, dtype=np.int64)[: self.capacity]
         ids = ids[ids < self.num_ids]
         k = len(ids)
@@ -131,8 +168,7 @@ class _KindCache:
         slots = np.arange(k)
         self.buffer = _insert_fn()(
             self.buffer, jnp.asarray(slots),
-            jnp.asarray(np.ascontiguousarray(self.table[ids],
-                                             dtype=np.float32)))
+            jnp.asarray(self._pull(ids), dtype=jnp.float32))
         self.flag[ids] = True
         self.map[ids] = slots
         self.rmap[:k] = ids
@@ -145,6 +181,11 @@ class _KindCache:
         n = len(ids)
         self.total += n
         if self.capacity == 0 or n == 0:
+            if self.distributed:
+                rows = self._pull(ids)[np.asarray(inv, np.int64)] \
+                    if n else jnp.zeros((len(inv), self.dim))
+                self._last_miss = (np.zeros(0, np.int64), None)
+                return jnp.where(jnp.asarray(valid)[:, None], rows, 0.0)
             rows = np.zeros((len(inv), self.dim), np.float32)
             np.copyto(rows, self.table[ids][inv] if n else 0)
             rows[~valid] = 0
@@ -163,14 +204,13 @@ class _KindCache:
         hit_slots = pad_to(self.map[ids[hit_pos]], nh, 0)
         hit_posp = pad_to(hit_pos, nh, n_uniq)      # pad -> dropped
         miss_idsp = ids[miss_pos]
-        miss_vals = np.zeros((nm, self.dim), np.float32)
-        if len(miss_pos):
-            miss_vals[: len(miss_pos)] = self.table[miss_idsp]
+        miss_vals = self._pull(miss_idsp, pad_to_n=nm)
         miss_posp = pad_to(miss_pos, nm, n_uniq)
         out = _assemble_fn(self.dim)(
             self.buffer, n_uniq,
             jnp.asarray(hit_slots), jnp.asarray(hit_posp),
-            jnp.asarray(miss_vals), jnp.asarray(miss_posp),
+            jnp.asarray(miss_vals, dtype=jnp.float32),
+            jnp.asarray(miss_posp),
             jnp.asarray(np.asarray(inv, np.int64)),
             jnp.asarray(valid))
         self._last_miss = (miss_idsp, miss_vals[: len(miss_pos)])
@@ -192,10 +232,14 @@ class _KindCache:
         kb = _bucket(k)
         slots_p = np.pad(slots, (0, kb - k),
                          constant_values=self.buffer.shape[0])
-        vals_p = np.zeros((kb, self.dim), np.float32)
-        vals_p[:k] = miss_vals[:k]
+        if isinstance(miss_vals, jax.Array):
+            vals_p = jnp.pad(miss_vals[:k], ((0, kb - k), (0, 0)))
+        else:
+            vals_p = np.zeros((kb, self.dim), np.float32)
+            vals_p[:k] = miss_vals[:k]
+            vals_p = jnp.asarray(vals_p)
         self.buffer = _insert_fn()(self.buffer, jnp.asarray(slots_p),
-                                   jnp.asarray(vals_p))
+                                   vals_p)
         self.flag[ids] = True
         self.map[ids] = slots
         self.rmap[slots] = ids
@@ -236,13 +280,18 @@ class Cache:
                  dim_node: int = 0, dim_edge: int = 0, **kwargs):
         self.node_cache: Optional[_KindCache] = None
         self.edge_cache: Optional[_KindCache] = None
+
+        def table_dim(t):
+            return (t.array.shape[1] if hasattr(t, "pull")
+                    else t.shape[1])
+
         if node_feats is not None:
-            dim_node = node_feats.shape[1]
+            dim_node = table_dim(node_feats)
             cap = int(node_cache_ratio * num_nodes)
             self.node_cache = _KindCache(cap, num_nodes, dim_node,
                                          node_feats)
         if edge_feats is not None:
-            dim_edge = edge_feats.shape[1]
+            dim_edge = table_dim(edge_feats)
             cap = int(edge_cache_ratio * num_edges)
             self.edge_cache = _KindCache(cap, num_edges, dim_edge,
                                          edge_feats)

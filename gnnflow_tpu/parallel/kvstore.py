@@ -25,6 +25,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gnnflow_tpu.parallel.mesh import DATA_AXIS
 
 
+def put_global(data, mesh: Mesh, spec: P):
+    """Place host data (identical on every process) onto a mesh that may
+    span processes.  Single-process: plain ``device_put``; multi-process:
+    ``make_array_from_callback`` so each process materializes only its
+    addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(data, NamedSharding(mesh, spec))
+    h = np.asarray(data)
+    return jax.make_array_from_callback(
+        h.shape, NamedSharding(mesh, spec), lambda idx: h[idx])
+
+
 class ShardedTable:
     """A ``[N, dim]`` table row-sharded over the mesh's data axis."""
 
@@ -38,9 +50,9 @@ class ShardedTable:
             data = np.concatenate(
                 [data, np.zeros((pad,) + data.shape[1:], data.dtype)])
         self.num_rows = n
-        self.sharding = NamedSharding(mesh, P(axis, *([None] * (
-            data.ndim - 1))))
-        self.array = jax.device_put(jnp.asarray(data), self.sharding)
+        spec = P(axis, *([None] * (data.ndim - 1)))
+        self.sharding = NamedSharding(mesh, spec)
+        self.array = put_global(np.asarray(data), mesh, spec)
 
     def pull(self, ids: jax.Array) -> jax.Array:
         """Gather rows (``KVStoreClient.pull``); safe for any id order —
@@ -103,6 +115,6 @@ def shard_memory_state(memory_state, mesh: Mesh, axis: str = DATA_AXIS):
         if x.shape[0] % n_shards:
             pad = n_shards - (x.shape[0] % n_shards)
             x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put_global(x, mesh, spec)
 
     return jax.tree.map(place, memory_state)

@@ -18,19 +18,37 @@ XLA program with GSPMD-inserted collectives.
 from __future__ import annotations
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from gnnflow_tpu.models import memory as memory_lib
 from gnnflow_tpu.parallel.dist_graph import (PartitionedDeviceGraph,
-                                             sample_hops_partitioned)
+                                             sample_hops_partitioned,
+                                             sample_hops_routed)
+from gnnflow_tpu.parallel.kvstore import put_global, shard_memory_state
 from gnnflow_tpu.parallel.mesh import DATA_AXIS
-from gnnflow_tpu.train import Trainer
+from gnnflow_tpu.train import Trainer, _valid_mask
 
 
 class PartitionedTrainer(Trainer):
-    """Trainer whose sampling runs over a partitioned graph store."""
+    """Trainer whose sampling runs over a partitioned graph store.
 
-    def __init__(self, model, mesh: Mesh, **kwargs):
+    ``sampling_mode``:
+
+    - ``"routed"`` (default) — owner-routed all-to-all sampling; per-device
+      sampling work is O(B/P) (``sample_hops_routed``).
+    - ``"replicated"`` — every device samples all roots against its
+      partition, psum-merged; per-device work O(B) but exact for any
+      partition skew (``sample_hops_partitioned``).
+    """
+
+    def __init__(self, model, mesh: Mesh, sampling_mode: str = "routed",
+                 capacity_factor: float = 4.0, **kwargs):
+        if sampling_mode not in ("routed", "replicated"):
+            raise ValueError(sampling_mode)
         self.mesh = mesh
+        self.sampling_mode = sampling_mode
+        self.capacity_factor = float(capacity_factor)
         super().__init__(model, **kwargs)
         repl = NamedSharding(mesh, P())
         batch = NamedSharding(mesh, P(DATA_AXIS))
@@ -46,7 +64,50 @@ class PartitionedTrainer(Trainer):
             in_shardings=(None, graph_shard, None, None,
                           batch, batch, batch, batch))
 
+    # -- multi-process placement hooks ---------------------------------
+    # Under jax.distributed (multi-controller SPMD) every jit input must
+    # be a global array; these hooks build them from process-uniform
+    # host values.  Single-process they reduce to plain device arrays.
+
+    def _init_array(self, x):
+        return put_global(np.asarray(x), self.mesh, P(DATA_AXIS))
+
+    def _replicated(self, x):
+        return put_global(np.asarray(x), self.mesh, P())
+
+    def _init_memory(self, num_nodes: int):
+        mem = memory_lib.init_memory(
+            num_nodes, self.model.dim_memory, self.model.dim_edge,
+            mailbox_slots=getattr(self.model, "mailbox_slots", 1))
+        if jax.process_count() > 1:
+            mem = shard_memory_state(mem, self.mesh)
+        return mem
+
+    def _batch_arrays(self, batch):
+        b = P(DATA_AXIS)
+        return (
+            put_global(np.asarray(batch.target_nodes, np.int32),
+                       self.mesh, b),
+            put_global(np.asarray(batch.ts, np.float32), self.mesh, b),
+            put_global(np.asarray(batch.eids, np.int32), self.mesh, b),
+            put_global(np.asarray(_valid_mask(batch)), self.mesh, b))
+
+    def train_step(self, state, dg, node_feats, edge_feats, batch):
+        return self._train_step(state, dg, node_feats, edge_feats,
+                                *self._batch_arrays(batch), True)
+
+    def eval_step(self, state, dg, node_feats, edge_feats, batch):
+        return self._train_step(state, dg, node_feats, edge_feats,
+                                *self._batch_arrays(batch), False)
+
     def _sample(self, dg, roots, ts, key):
+        if self.sampling_mode == "routed":
+            return sample_hops_routed(
+                dg, self.mesh, roots, ts, fanouts=self.fanouts,
+                strategy=self.strategy, num_snapshots=self.num_snapshots,
+                window=self.window, prop_time=self.prop_time,
+                search_iters=self._iters(dg), key=key,
+                capacity_factor=self.capacity_factor)
         return sample_hops_partitioned(
             dg, self.mesh, roots, ts, fanouts=self.fanouts,
             strategy=self.strategy, num_snapshots=self.num_snapshots,

@@ -126,8 +126,8 @@ class Trainer:
         tables): zero dummies of the right shape are used for shape
         inference."""
         b3 = batch_size * (2 + self.neg_ratio)
-        roots = jnp.zeros((b3,), jnp.int32)
-        ts = jnp.zeros((b3,), jnp.float32)
+        roots = self._init_array(np.zeros((b3,), np.int32))
+        ts = self._init_array(np.zeros((b3,), np.float32))
         mfgs = self._sample(dg, roots, ts, key)
         # normalize to the default (accelerator) device — host-placement
         # stores sample on the CPU backend.  Never touch sharded
@@ -147,9 +147,7 @@ class Trainer:
         mem_input = None
         memory = None
         if self.model.use_memory:
-            memory = memory_lib.init_memory(
-                num_nodes, self.model.dim_memory, self.model.dim_edge,
-                mailbox_slots=getattr(self.model, "mailbox_slots", 1))
+            memory = self._init_memory(num_nodes)
             mem_input = memory_lib.prepare_input(memory, mfgs[0][0])
         # jit the whole init: eager op-by-op dispatch is pathologically
         # slow on remote-compile device tunnels
@@ -160,8 +158,25 @@ class Trainer:
         params = init_fn(key, mfgs, nfs, efs, mem_input)["params"]
         opt_state = jax.jit(self.tx.init)(params)
         return TrainState(params=params, opt_state=opt_state,
-                          memory=memory, key=key,
-                          step=jnp.zeros((), jnp.int32))
+                          memory=memory, key=self._replicated(key),
+                          step=self._replicated(
+                              np.zeros((), np.int32)))
+
+    def _init_array(self, x: np.ndarray) -> jax.Array:
+        """Placement hook for init-time dummy batches; the multi-process
+        PartitionedTrainer overrides this to build global arrays."""
+        return jnp.asarray(x)
+
+    def _replicated(self, x) -> jax.Array:
+        """Placement hook for small replicated state (PRNG key, step)."""
+        return jnp.asarray(x)
+
+    def _init_memory(self, num_nodes: int):
+        """Memory-state construction hook (overridden to shard globally
+        in partitioned/multi-process mode)."""
+        return memory_lib.init_memory(
+            num_nodes, self.model.dim_memory, self.model.dim_edge,
+            mailbox_slots=getattr(self.model, "mailbox_slots", 1))
 
     @staticmethod
     def _iters(dg) -> int:

@@ -53,6 +53,11 @@ parser.add_argument("--ingestion-batch-size", type=int, default=1000)
 parser.add_argument("--num-devices", type=int, default=1)
 parser.add_argument("--cache", default=None,
                     help="LRUCache|LFUCache|FIFOCache|GNNLabStaticCache")
+parser.add_argument("--pipeline", action="store_true",
+                    help="prefetch sampling+feature-fetch of batch k+1 "
+                         "on a worker thread while batch k trains "
+                         "(cache mode only; the reference's sampling "
+                         "thread, offline_edge_prediction.py:343-399)")
 parser.add_argument("--edge-cache-ratio", type=float, default=0)
 parser.add_argument("--node-cache-ratio", type=float, default=0)
 parser.add_argument("--snapshot-time-window", type=float, default=0)
@@ -237,6 +242,23 @@ def main():
                 loss = losses[-1]
                 float(loss)
             it = TN.shape[0]
+        elif cache is not None and args.pipeline:
+            # prefetch pipeline: batch k+1's sample+fetch overlaps batch
+            # k's device step (FeaturePipeline worker thread)
+            from gnnflow_tpu.pipeline import FeaturePipeline
+            pipe = FeaturePipeline(sampler, cache, depth=2)
+            batches = get_batches(train_data, batch_size, train_neg,
+                                  num_chunks=args.num_chunks, rng=rng)
+            for batch, mfgs, nfs, efs, tef in pipe.run(batches):
+                with timer("train"):
+                    state, loss, _, _ = trainer.train_step_prefetched(
+                        state, mfgs, nfs, efs, tef, batch)
+                total_samples += 3 * batch.num_valid
+                it += 1
+                if it % args.print_freq == 0:
+                    logging.info("epoch %d it %d loss %.4f", epoch, it,
+                                 float(loss))
+            jax.block_until_ready(state.params)
         else:
             for batch in get_batches(train_data, batch_size, train_neg,
                                      num_chunks=args.num_chunks,

@@ -1,0 +1,200 @@
+"""Multi-process (multi-host) partitioned training — the torchrun analogue.
+
+Counterpart of the reference's multi-node launch
+(``/root/reference/scripts/run_offline_multi_node.sh`` +
+``offline_edge_prediction_multi_node_kvstore.py``): one OS process per
+host, rendezvous at a coordinator, then a single SPMD program over the
+global device mesh.  Each process ingests only the graph partitions its
+local devices own (per-machine ingestion, ``dispatcher.py:62-73``); the
+partition table is computed identically everywhere by a deterministic
+partitioner — no rank-0 broadcast needed (verified by digest).
+
+Launch (one command per host / per process):
+
+    python scripts/offline_edge_prediction_multiprocess.py \
+        --coordinator HOST0:12345 --num-processes 2 --process-id $i
+
+On a real TPU pod slice, omit ``--platform``/``--local-device-count``
+(each process finds its local chips).  For CPU validation:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+    python scripts/offline_edge_prediction_multiprocess.py \
+        --coordinator localhost:12345 --num-processes 2 --process-id $i \
+        --platform cpu
+"""
+import argparse
+import logging
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--model", default="TGN")
+parser.add_argument("--data", default="SYNTHETIC")
+parser.add_argument("--data-dir", default=None)
+parser.add_argument("--epoch", type=int, default=3)
+parser.add_argument("--lr", type=float, default=1e-4)
+parser.add_argument("--seed", type=int, default=42)
+parser.add_argument("--coordinator", required=True)
+parser.add_argument("--num-processes", type=int, required=True)
+parser.add_argument("--process-id", type=int, required=True)
+parser.add_argument("--partition-strategy", default="hash",
+                    choices=["hash", "roundrobin"],
+                    help="must be deterministic + state-free so every "
+                         "process derives the same table")
+parser.add_argument("--sampling-mode", default="routed",
+                    choices=["routed", "replicated"])
+parser.add_argument("--ingestion-batch-size", type=int, default=100_000)
+parser.add_argument("--synthetic-edges", type=int, default=50_000)
+parser.add_argument("--max-steps", type=int, default=0,
+                    help="truncate each epoch (smoke tests)")
+parser.add_argument("--platform", default=None)
+args = parser.parse_args()
+
+if args.platform:
+    import jax
+    jax.config.update("jax_platforms", args.platform)
+
+logging.basicConfig(
+    level=logging.INFO,
+    format=f"%(asctime)s p{args.process_id} %(levelname)s %(message)s")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from gnnflow_tpu.config import get_default_config
+    from gnnflow_tpu.data import (DstRandEdgeSampler, get_batches,
+                                  load_dataset, load_feat,
+                                  make_synthetic_dataset)
+    from gnnflow_tpu.models import build_model
+    from gnnflow_tpu.parallel import (PartitionedDynamicGraph,
+                                      get_partitioner)
+    from gnnflow_tpu.parallel.dist_context import (
+        dispatch_full_dataset_multiprocess, global_mesh, initialize,
+        shutdown)
+    from gnnflow_tpu.parallel.partitioned_trainer import PartitionedTrainer
+    from gnnflow_tpu.utils import (average_precision_score, roc_auc_score)
+
+    pid, nproc = initialize(args.coordinator, args.num_processes,
+                            args.process_id)
+    n_dev = jax.device_count()
+    mesh = global_mesh()
+    logging.info("global mesh: %d devices over %d processes", n_dev,
+                 nproc)
+
+    model_config, data_config = get_default_config(args.model, "synthetic")
+    try:
+        model_config, data_config = get_default_config(
+            args.model, args.data.lower())
+    except AssertionError:
+        pass
+
+    if args.data != "SYNTHETIC":
+        train_d, val_d, test_d, full = load_dataset(args.data,
+                                                    args.data_dir)
+        node_feats, edge_feats = load_feat(args.data, args.data_dir)
+        ext_roll = np.concatenate([
+            np.zeros(len(train_d), np.int64),
+            np.ones(len(val_d), np.int64),
+            np.full(len(test_d), 2, np.int64)])
+    else:
+        train_d, val_d, _, full, node_feats, edge_feats = \
+            make_synthetic_dataset(num_src=2000, num_dst=500,
+                                   num_edges=args.synthetic_edges,
+                                   dim_edge=100, seed=args.seed)
+        ext_roll = np.zeros(len(full), np.int64)
+        ext_roll[len(train_d):len(train_d) + len(val_d)] = 1
+        ext_roll[len(train_d) + len(val_d):] = 2
+
+    partitioner = get_partitioner(args.partition_strategy, n_dev)
+    pg = PartitionedDynamicGraph(n_dev, mesh=mesh, local_only=True,
+                                 **data_config)
+    t0 = time.time()
+    train_data, store = dispatch_full_dataset_multiprocess(
+        full, ext_roll, partitioner, pg, mesh,
+        node_feats=node_feats, edge_feats=edge_feats,
+        ingestion_batch_size=args.ingestion_batch_size,
+        undirected=data_config["undirected"])
+    logging.info("dispatch done in %.1fs (%d local edges in %d owned "
+                 "partitions)", time.time() - t0, pg.num_edges(),
+                 len(pg.owned))
+
+    num_nodes = pg.max_vertex_id() + 1
+    dim_node = 0 if node_feats is None else node_feats.shape[1]
+    dim_edge = 0 if edge_feats is None else edge_feats.shape[1]
+    model, sampler_kwargs = build_model(args.model, model_config,
+                                        dim_node, dim_edge)
+    batch_size = model_config["batch_size"]
+    batch_size -= batch_size % n_dev
+    lr = args.lr * math.sqrt(n_dev)
+    trainer = PartitionedTrainer(model, mesh, lr=lr,
+                                 sampling_mode=args.sampling_mode,
+                                 **sampler_kwargs)
+
+    dg = pg.device_graph()
+    state = trainer.init_state(jax.random.PRNGKey(args.seed), dg,
+                               batch_size, store.node_array,
+                               store.edge_array, num_nodes=num_nodes)
+    logging.info("state initialized (first compile done)")
+
+    train_neg = DstRandEdgeSampler(train_data.dst, seed=args.seed)
+    val_neg = DstRandEdgeSampler(full.dst, seed=args.seed + 1)
+    rng = np.random.RandomState(args.seed)
+    val_data = full[int(np.searchsorted(ext_roll, 1)):
+                    int(np.searchsorted(ext_roll, 2))]
+
+    def to_host(x):
+        return np.asarray(multihost_utils.global_array_to_host_local_array(
+            x, mesh, P()))
+
+    import gnnflow_tpu.models.memory as memory_lib
+    for epoch in range(args.epoch):
+        t0 = time.time()
+        total = 0
+        if epoch > 0 and state.memory is not None:
+            state = state.replace(
+                memory=memory_lib.reset_memory(state.memory))
+        last_loss = None
+        for i, batch in enumerate(get_batches(train_data, batch_size,
+                                              train_neg, rng=rng)):
+            state, loss, _, _ = trainer.train_step(
+                state, dg, store.node_array, store.edge_array, batch)
+            total += 3 * batch.num_valid
+            last_loss = loss
+            if args.max_steps and i + 1 >= args.max_steps:
+                break
+        last = float(to_host(last_loss))  # value fetch ends timing
+        dt = time.time() - t0
+        scores, labels = [], []
+        for i, batch in enumerate(get_batches(val_data, batch_size,
+                                              val_neg)):
+            state, _, pos, neg = trainer.eval_step(
+                state, dg, store.node_array, store.edge_array, batch)
+            k = batch.num_valid
+            scores += [to_host(pos)[:k], to_host(neg)[:k]]
+            labels += [np.ones(k), np.zeros(k)]
+            if args.max_steps and i + 1 >= args.max_steps:
+                break
+        ap = average_precision_score(np.concatenate(labels),
+                                     np.concatenate(scores))
+        auc = roc_auc_score(np.concatenate(labels),
+                            np.concatenate(scores))
+        logging.info("epoch %d: %.2fs, %.0f samples/s, loss %.6f, "
+                     "val ap %.4f auc %.4f", epoch, dt, total / dt,
+                     last, ap, auc)
+        print(f"RESULT epoch={epoch} loss={last:.6f} ap={ap:.6f}",
+              flush=True)
+    shutdown()
+
+
+if __name__ == "__main__":
+    main()

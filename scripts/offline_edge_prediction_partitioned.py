@@ -41,6 +41,11 @@ parser.add_argument("--partition-strategy", default="hash",
                     choices=["hash", "roundrobin", "edgecount",
                              "timestampsum", "timestampavg", "fennel",
                              "fennel_edge", "metis"])
+parser.add_argument("--sampling-mode", default="routed",
+                    choices=["routed", "replicated"],
+                    help="routed = owner-routed all-to-all (O(B/P) "
+                         "per-device work); replicated = psum-merge")
+parser.add_argument("--capacity-factor", type=float, default=4.0)
 parser.add_argument("--ingestion-batch-size", type=int, default=100_000)
 parser.add_argument("--synthetic-edges", type=int, default=100_000)
 parser.add_argument("--platform", default=None,
@@ -117,7 +122,10 @@ def main():
     batch_size = model_config["batch_size"]
     batch_size -= batch_size % n_dev
     lr = args.lr * math.sqrt(n_dev)
-    trainer = PartitionedTrainer(model, mesh, lr=lr, **sampler_kwargs)
+    trainer = PartitionedTrainer(model, mesh, lr=lr,
+                                 sampling_mode=args.sampling_mode,
+                                 capacity_factor=args.capacity_factor,
+                                 **sampler_kwargs)
 
     dg = pg.device_graph()
     state = trainer.init_state(jax.random.PRNGKey(args.seed), dg,
