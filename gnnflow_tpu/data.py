@@ -134,6 +134,76 @@ def load_feat(dataset: str, data_dir: Optional[str] = None,
     return node_feats, edge_feats
 
 
+def load_partitioned_dataset(dataset: str, data_dir: Optional[str] = None,
+                             rank: int = 0, world_size: int = 1,
+                             partition_train_data: bool = False):
+    """Load this rank's pre-partitioned splits
+    (``edges_{train,val,test}_<world_size>_<rank>.csv``), matching
+    ``gnnflow/utils.py:154-186``.  Returns (train, val, test) EdgeTables
+    (train is None when ``partition_train_data``)."""
+    if data_dir is None:
+        data_dir = os.path.join(get_project_root_dir(), "data")
+    base = os.path.join(data_dir, dataset)
+
+    def read(split):
+        path = os.path.join(base,
+                            f"edges_{split}_{world_size}_{rank}.csv")
+        if not os.path.exists(path):
+            raise ValueError(f"{path} does not exist")
+        df = pd.read_csv(path).rename(columns={"Unnamed: 0": "eid"})
+        return EdgeTable.from_dataframe(df)
+
+    train = None if partition_train_data else read("train")
+    return train, read("val"), read("test")
+
+
+def load_sharded_node_feat(dataset: str, mesh,
+                           data_dir: Optional[str] = None):
+    """Assemble a mesh-sharded node-feature table from per-machine part
+    files ``node_features_<i>.npy`` (the MAG sharded load,
+    ``gnnflow/utils.py:203-246``).
+
+    The reference gathers all parts to rank 0 with send/recv; on TPU
+    that materialization is unnecessary — each process memmaps only the
+    parts overlapping its addressable shards and the result is one
+    globally row-sharded device array (rows padded to the shard
+    multiple)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if data_dir is None:
+        data_dir = os.path.join(get_project_root_dir(), "data")
+    base = os.path.join(data_dir, dataset)
+    parts = []
+    i = 0
+    while os.path.exists(os.path.join(base, f"node_features_{i}.npy")):
+        parts.append(np.load(os.path.join(base, f"node_features_{i}.npy"),
+                             mmap_mode="r"))
+        i += 1
+    if not parts:
+        raise ValueError(f"no node_features_*.npy parts under {base}")
+    offs = np.cumsum([0] + [p.shape[0] for p in parts])
+    total, dim = int(offs[-1]), parts[0].shape[1]
+    axis = mesh.axis_names[-1]
+    n_shards = mesh.shape[axis]
+    padded = ((total + n_shards - 1) // n_shards) * n_shards
+
+    def cb(index):
+        lo = index[0].start or 0
+        hi = index[0].stop if index[0].stop is not None else padded
+        out = np.zeros((hi - lo, dim), np.float32)
+        for k, p in enumerate(parts):
+            s = max(lo, int(offs[k]))
+            e = min(hi, int(offs[k + 1]))
+            if s < e:
+                out[s - lo: e - lo] = p[s - offs[k]: e - offs[k]]
+        return out
+
+    arr = jax.make_array_from_callback(
+        (padded, dim), NamedSharding(mesh, P(axis)), cb)
+    return arr, total
+
+
 # ---------------------------------------------------------------------------
 # Synthetic datasets (no-network environments; deterministic)
 # ---------------------------------------------------------------------------
