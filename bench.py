@@ -46,7 +46,7 @@ def main():
                                   make_synthetic_dataset)
     from gnnflow_tpu.dynamic_graph import DynamicGraph
     from gnnflow_tpu.models.dgnn import DGNN
-    from gnnflow_tpu.train import Trainer
+    from gnnflow_tpu.train import Trainer, pad_feature_table
 
     # REDDIT-shaped synthetic stream (10,984 nodes; 672,447 edges; 172-dim
     # edge features).
@@ -68,7 +68,7 @@ def main():
     ingest_time = time.time() - ingest_start
 
     dg = g.device_graph()
-    ef = jnp.asarray(ef_np)
+    ef = pad_feature_table(ef_np)  # 128-aligned rows: 2x faster gathers
 
     batch_size = 4000
     # bfloat16 compute (params f32) — standard TPU mixed precision;

@@ -42,7 +42,8 @@ def main():
     g.add_edges(full.src, full.dst, full.time, full.eid,
                 add_reverse=True)
     dg = g.device_graph()
-    iters = int(dg.e_ts.shape[0]).bit_length()
+    # max-degree-bounded search depth — what the Trainer uses
+    iters = dg.search_iters
 
     configs = [
         ("recent-1hop-f10", dict(fanouts=(10,), strategy="recent")),

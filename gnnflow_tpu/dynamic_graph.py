@@ -57,6 +57,13 @@ class DeviceGraph(struct.PyTreeNode):
     e_dst: jax.Array    # [C] int32  — neighbor ids, ts-sorted per vertex
     e_ts: jax.Array     # [C] float32
     e_eid: jax.Array    # [C] int32
+    # lane-interleaved (dst,eid,ts) pick pool — one row gather fetches all
+    # three values of an edge (ops/sampling.py:build_triple_pool); None →
+    # samplers fall back to per-pool gathers
+    e_triples: Optional[jax.Array] = None
+    # lane-interleaved (off,len) node table (build_pair_table); None →
+    # samplers fall back to two separate gathers
+    v_pairs: Optional[jax.Array] = None
     search_iters: int = struct.field(pytree_node=False, default=32)
 
     @property
@@ -509,15 +516,30 @@ class DynamicGraph:
             return jax.device_put(x, dev) if dev is not None \
                 else jax.device_put(x)
 
+        # lane-interleaved pick pool (see ops/sampling.build_triple_pool)
+        # built host-side so it follows the store's device placement
+        n42 = -(-c // 42)
+        flat = np.stack([self._dst[:c].astype(np.int32),
+                         self._eid[:c].astype(np.int32),
+                         self._ts[:c].astype(np.float32).view(np.int32)],
+                        axis=-1).reshape(-1)
+        flat = np.pad(flat, (0, n42 * 126 - flat.shape[0]))
+        triples = np.pad(flat.reshape(n42, 126), ((0, 0), (0, 2)))
+        n64 = -(-n // 64)
+        pairs = np.stack([self._row_off.astype(np.int32),
+                          self._row_len.astype(np.int32)],
+                         axis=-1).reshape(-1)
+        pairs = np.pad(pairs, (0, n64 * 128 - pairs.shape[0]))
         self._device_graph = DeviceGraph(
             row_off=put(self._row_off.astype(np.int32)),
             row_len=put(self._row_len.astype(np.int32)),
             e_dst=put(self._dst.astype(NID_DTYPE)[:c]),
             e_ts=put(self._ts.astype(TS_DTYPE)[:c]),
             e_eid=put(self._eid.astype(EID_DTYPE)[:c]),
+            e_triples=put(triples),
+            v_pairs=put(pairs.reshape(n64, 128)),
             search_iters=max(1, self._max_degree.bit_length()),
         )
-        del n
         self._dirty = False
         return self._device_graph
 

@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gnnflow_tpu.common import INVALID_NID, MFG, NID_DTYPE, TS_DTYPE
+from gnnflow_tpu.common import (EID_DTYPE, INVALID_NID, MFG, NID_DTYPE,
+                                TS_DTYPE)
 from gnnflow_tpu.dynamic_graph import DeviceGraph
 
 
@@ -67,6 +68,127 @@ def _gather_scalars(arr: jax.Array, idx: jax.Array) -> jax.Array:
     return out.reshape(shape).astype(arr.dtype)
 
 
+_TRIPLES_PER_ROW = 42  # 3 lanes per edge, 42 edges per 128-lane row
+
+
+def build_triple_pool(e_dst: jax.Array, e_ts: jax.Array,
+                      e_eid: jax.Array) -> jax.Array:
+    """Interleave (dst, eid, ts-bits) into a [ceil(C/42), 128] i32 pool.
+
+    Edge slot ``j`` lives in row ``j//42`` at lanes ``3*(j%42)+{0,1,2}``
+    (dst, eid, ts); lanes 126-127 are padding.  A pick then needs ONE
+    128-lane row fetch for all three values — TPU gather cost is purely
+    per-element (~2.8 ns/row regardless of locality), so this beats three
+    separate pools 3× and a 384-wide packed pool 2×.  Built with static
+    reshapes only (no scatter); cheap enough to run on device at every
+    store refresh."""
+    C = e_dst.shape[0]
+    n = -(-C // _TRIPLES_PER_ROW)
+    pad = n * _TRIPLES_PER_ROW - C
+    tsb = lax.bitcast_convert_type(e_ts, jnp.int32)
+    cols = [jnp.pad(a.astype(jnp.int32), (0, pad)) for a in
+            (e_dst, e_eid, tsb)]
+    inter = jnp.stack(cols, axis=-1).reshape(n, 3 * _TRIPLES_PER_ROW)
+    return jnp.pad(inter, ((0, 0), (0, _LANES - 3 * _TRIPLES_PER_ROW)))
+
+
+def _select_triples(rows: jax.Array, lane: jax.Array):
+    """Select (dst, eid, ts) from gathered triple-pool rows.
+
+    ``rows`` is [M, W] (W = 128 or 256), ``lane`` [M] or [M, F] holds the
+    dst lane index of each pick within its row window."""
+    W = rows.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    ln = lane if lane.ndim == 2 else lane[:, None]
+    r = rows[:, None, :] if rows.ndim == 2 else rows
+
+    def sel(off):
+        oh = ln[..., None] + off == iota
+        return jnp.sum(jnp.where(oh, r, 0), axis=-1, dtype=jnp.int32)
+
+    dst, eid, tsb = sel(0), sel(1), sel(2)
+    ts = lax.bitcast_convert_type(tsb, jnp.float32)
+    if lane.ndim == 1:
+        dst, eid, ts = dst[:, 0], eid[:, 0], ts[:, 0]
+    return dst, eid, ts
+
+
+def _gather_triples(tp: jax.Array, idx: jax.Array):
+    """Per-pick gather from the triple pool: ONE row fetch per pick.
+
+    ``idx`` holds edge-slot ids of any shape; returns (dst, eid, ts)
+    arrays of the same shape."""
+    shape = idx.shape
+    flat = idx.reshape(-1)
+    row = flat // _TRIPLES_PER_ROW
+    lane = 3 * (flat - row * _TRIPLES_PER_ROW)
+    rows = tp[jnp.clip(row, 0, tp.shape[0] - 1)]          # [M, 128]
+    dst, eid, ts = _select_triples(rows, lane)
+    return (dst.reshape(shape).astype(NID_DTYPE),
+            eid.reshape(shape).astype(EID_DTYPE),
+            ts.reshape(shape).astype(TS_DTYPE))
+
+
+def _gather_triples_window(tp: jax.Array, start: jax.Array,
+                           picks: jax.Array):
+    """Windowed triple gather: all of a root's picks lie in
+    ``[start, start + width)`` with ``width <= 43`` (true for recent
+    sampling, picks are the contiguous run ``[e_idx-F, e_idx)``), so TWO
+    row fetches per root cover every pick."""
+    B, F = picks.shape
+    r0 = jnp.clip(start // _TRIPLES_PER_ROW, 0, tp.shape[0] - 2)
+    rows = tp[r0[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :]]
+    rows = rows.reshape(B, 2 * _LANES)
+    d = jnp.clip(picks - r0[:, None] * _TRIPLES_PER_ROW,
+                 0, 2 * _TRIPLES_PER_ROW - 1)  # triple offset in window
+    lane = 3 * d + 2 * (d >= _TRIPLES_PER_ROW)  # row 1 starts at lane 128
+    dst, eid, ts = _select_triples(rows, lane)
+    return (dst.astype(NID_DTYPE), eid.astype(EID_DTYPE),
+            ts.astype(TS_DTYPE))
+
+
+_PAIRS_PER_ROW = 64  # (off, len) pairs per 128-lane row
+
+
+def build_pair_table(row_off: jax.Array, row_len: jax.Array) -> jax.Array:
+    """Interleave (row_off, row_len) into a [ceil(N/64), 128] i32 table:
+    vertex ``v`` at row ``v//64``, lanes ``2*(v%64)+{0,1}``.  The
+    per-root (off, len) lookup then costs ONE gather element instead of
+    two (gather cost is per-element on TPU)."""
+    N = row_off.shape[0]
+    n = -(-N // _PAIRS_PER_ROW)
+    pad = n * _PAIRS_PER_ROW - N
+    cols = [jnp.pad(a.astype(jnp.int32), (0, pad))
+            for a in (row_off, row_len)]
+    return jnp.stack(cols, axis=-1).reshape(n, _LANES)
+
+
+def _gather_pairs(vp: jax.Array, nid: jax.Array):
+    """(off, len) per vertex from the pair table — one row fetch each."""
+    shape = nid.shape
+    flat = nid.reshape(-1)
+    row = flat // _PAIRS_PER_ROW
+    lane = 2 * (flat - row * _PAIRS_PER_ROW)
+    rows = vp[jnp.clip(row, 0, vp.shape[0] - 1)]            # [M, 128]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    def sel(o):
+        return jnp.sum(jnp.where(lane[:, None] + o == iota, rows, 0),
+                       axis=-1, dtype=jnp.int32)
+
+    return sel(0).reshape(shape), sel(1).reshape(shape)
+
+
+def _root_off_len(g: DeviceGraph, nid: jax.Array, valid: jax.Array):
+    """Per-root (off, len) lookup via the packed pair table when present."""
+    if getattr(g, "v_pairs", None) is not None:
+        off, ln = _gather_pairs(g.v_pairs, nid)
+    else:
+        off = _gather_scalars(g.row_off, nid)
+        ln = _gather_scalars(g.row_len, nid)
+    return off, jnp.where(valid, ln, 0)
+
+
 def _gather_windows(arr: jax.Array, start: jax.Array,
                     picks: jax.Array) -> jax.Array:
     """Gather ``arr[picks]`` where ``picks[b, f]`` all lie within
@@ -94,24 +216,80 @@ def _lower_bound(e_ts: jax.Array, off: jax.Array, ln: jax.Array,
     """First index ``i`` in ``[0, ln)`` with ``e_ts[off+i] >= target``,
     vectorized over a batch of (off, ln, target) triples.
 
-    ``off``/``ln``/``target`` may carry an extra leading dim to search
-    several targets per row in one fused loop (one gather per iteration
-    regardless of how many searches run)."""
-    lo = jnp.zeros_like(ln)
-    hi = ln
+    Two-level search (the dominant sampler cost is HBM row fetches, so
+    the goal is *one* full-width row gather per search instead of
+    ``iters``):
 
-    def body(_, lohi):
-        lo, hi = lohi
-        active = lo < hi
-        mid = (lo + hi) // 2
-        idx = jnp.clip(off + mid, 0, e_ts.shape[0] - 1)
-        go_right = _gather_scalars(e_ts, idx) < target
-        lo = jnp.where(active & go_right, mid + 1, lo)
-        hi = jnp.where(active & ~go_right, mid, hi)
-        return lo, hi
+    1. **Coarse**: binary-search the per-128-row *first timestamps*
+       (``e_ts[::128]`` — ≤1/128th of the pool, cache-resident) for the
+       last row whose first element precedes ``target``.  Only rows whose
+       first element lies strictly inside ``[off, off+ln)`` participate,
+       so pool slack/other vertices never pollute the search.
+    2. **Fine**: gather that single 128-lane row and count in-run
+       elements ``< target`` with a masked vector compare.
 
-    lo, _ = lax.fori_loop(0, iters, body, (lo, hi))
-    return lo
+    ``off``/``ln``/``target`` may carry extra leading dims to run several
+    searches per root in one fused pass."""
+    coarse = _coarsen(e_ts.reshape(-1, _LANES)[:, 0])
+
+    shape = off.shape
+    foff = off.reshape(-1)
+    fln = ln.reshape(-1)
+    ftarget = target.reshape(-1)
+    row_lo = foff >> 7                      # row holding the run start
+    row_hi = jnp.where(fln > 0, (foff + fln - 1) >> 7, row_lo)
+    # goal: rp = last row r in [row_lo, row_hi] with coarse[r] < target
+    # (row_lo always qualifies by convention — its first element may
+    # predate the run, the fine phase masks it out).
+    if iters > 14:
+        # 3-level: one more coarsening (e_ts[::16384]) bounds any degree
+        # up to 2^21 per 256-lane window; unrolled pre-narrowing beyond.
+        coarse2 = _coarsen(coarse.reshape(-1, _LANES)[:, 0])
+        r2_lo = row_lo >> 7
+        r2_hi = row_hi >> 7
+        lo2, hi2 = r2_lo + 1, r2_hi + 1
+        for _ in range(max(iters - 21, 0)):  # degree > 2M edges/vertex
+            active = lo2 < hi2
+            mid = (lo2 + hi2) // 2
+            go_right = _gather_scalars(coarse2, mid) < ftarget
+            lo2 = jnp.where(active & go_right, mid + 1, lo2)
+            hi2 = jnp.where(active & ~go_right, mid, hi2)
+        rp2 = (lo2 - 1) + _window_count(coarse2, lo2, hi2, ftarget)
+        lo1 = jnp.maximum(row_lo, rp2 * _LANES)
+        hi1 = jnp.minimum(row_hi, rp2 * _LANES + _LANES - 1)
+    else:                                   # degree <= 16384: 2-level
+        lo1, hi1 = row_lo, row_hi
+    rp = lo1 + _window_count(coarse, lo1 + 1, hi1 + 1, ftarget)
+
+    rows = _rows(e_ts)[rp]                  # [M, 128] one gather/search
+    pos = rp[:, None] * _LANES + jnp.arange(_LANES, dtype=jnp.int32)
+    in_run = (pos >= foff[:, None]) & (pos < (foff + fln)[:, None])
+    cnt = jnp.sum(in_run & (rows < ftarget[:, None]), axis=-1,
+                  dtype=jnp.int32)
+    i = jnp.maximum(rp * _LANES - foff, 0) + cnt
+    return jnp.minimum(i, fln).reshape(shape)
+
+
+def _coarsen(c: jax.Array) -> jax.Array:
+    """Pad a coarse level to >=256 entries and a 128 multiple so 2-row
+    window gathers are always in-bounds."""
+    pad = max(2 * _LANES - c.shape[0], (-c.shape[0]) % _LANES)
+    return jnp.pad(c, (0, pad)) if pad > 0 else c
+
+
+def _window_count(arr: jax.Array, lo: jax.Array, hi: jax.Array,
+                  target: jax.Array) -> jax.Array:
+    """``#{r in [lo, hi) : arr[r] < target}`` for ``hi - lo <= 129``
+    (``arr`` sorted on that range), via ONE 2-row aligned window gather
+    — 2 gather elements per query, loop-free."""
+    base = jnp.clip((lo - 1) >> 7, 0, arr.shape[0] // _LANES - 2)
+    w = _rows(arr)[base[:, None]
+                   + jnp.arange(2, dtype=jnp.int32)[None, :]]
+    w = w.reshape(-1, 2 * _LANES)           # [M, 256]
+    pos = base[:, None] * _LANES + jnp.arange(2 * _LANES,
+                                              dtype=jnp.int32)[None, :]
+    ok = (pos >= lo[:, None]) & (pos < hi[:, None])
+    return jnp.sum(ok & (w < target[:, None]), axis=-1, dtype=jnp.int32)
 
 
 def snapshot_window(root_ts: jax.Array, snapshot_idx: int,
@@ -150,8 +328,7 @@ def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
 
     valid_root = roots >= 0
     nid = jnp.where(valid_root, roots, 0)
-    off = g.row_off[nid]
-    ln = jnp.where(valid_root, g.row_len[nid], 0)
+    off, ln = _root_off_len(g, nid, valid_root)
 
     start_ts, end_ts = snapshot_window(
         root_ts, snapshot_idx, num_snapshots, window)
@@ -179,7 +356,10 @@ def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
         mask = pick >= s_idx[:, None]
         idx = jnp.clip(off[:, None] + pick, 0, g.e_dst.shape[0] - 1)
         win_start = off + jnp.maximum(e_idx - fanout, 0)
-        if fanout <= 128:
+        if g.e_triples is not None and fanout <= _TRIPLES_PER_ROW + 1:
+            dsts, eids_, tss = _gather_triples_window(
+                g.e_triples, win_start, idx)
+        elif fanout <= 128:
             dsts = _gather_windows(g.e_dst, win_start, idx)
             eids_ = _gather_windows(g.e_eid, win_start, idx)
             tss = _gather_windows(g.e_ts, win_start, idx)
@@ -195,9 +375,12 @@ def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
         pick = e_idx[:, None] - 1 - r
         mask = jnp.broadcast_to(nc > 0, (B, fanout))
         idx = jnp.clip(off[:, None] + pick, 0, g.e_dst.shape[0] - 1)
-        dsts = _gather_scalars(g.e_dst, idx)
-        eids_ = _gather_scalars(g.e_eid, idx)
-        tss = _gather_scalars(g.e_ts, idx)
+        if g.e_triples is not None:
+            dsts, eids_, tss = _gather_triples(g.e_triples, idx)
+        else:
+            dsts = _gather_scalars(g.e_dst, idx)
+            eids_ = _gather_scalars(g.e_eid, idx)
+            tss = _gather_scalars(g.e_ts, idx)
 
     nbr_nids = jnp.where(mask, dsts, INVALID_NID)
     nbr_eids = jnp.where(mask, eids_, 0)
@@ -235,8 +418,7 @@ def sample_layer_snapshots(
     root_ts = root_ts.astype(TS_DTYPE)
     valid_root = roots >= 0
     nid = jnp.where(valid_root, roots, 0)
-    off = g.row_off[nid]
-    ln = jnp.where(valid_root, g.row_len[nid], 0)
+    off, ln = _root_off_len(g, nid, valid_root)
 
     snap = jnp.arange(S, dtype=TS_DTYPE)[:, None]         # [S, 1]
     if num_snapshots == 1:
@@ -260,7 +442,10 @@ def sample_layer_snapshots(
         idx = jnp.clip(off[..., None] + pick, 0, g.e_dst.shape[0] - 1)
         win_start = (off + jnp.maximum(e_idx - fanout, 0)).reshape(-1)
         flat_idx = idx.reshape(S * B, fanout)
-        if fanout <= 128:
+        if g.e_triples is not None and fanout <= _TRIPLES_PER_ROW + 1:
+            dsts, eids_, tss = _gather_triples_window(
+                g.e_triples, win_start, flat_idx)
+        elif fanout <= 128:
             dsts = _gather_windows(g.e_dst, win_start, flat_idx)
             eids_ = _gather_windows(g.e_eid, win_start, flat_idx)
             tss = _gather_windows(g.e_ts, win_start, flat_idx)
@@ -281,9 +466,12 @@ def sample_layer_snapshots(
         pick = e_idx[..., None] - 1 - r
         mask = jnp.broadcast_to(nc > 0, (S, B, fanout))
         idx = jnp.clip(off[..., None] + pick, 0, g.e_dst.shape[0] - 1)
-        dsts = _gather_scalars(g.e_dst, idx)
-        eids_ = _gather_scalars(g.e_eid, idx)
-        tss = _gather_scalars(g.e_ts, idx)
+        if g.e_triples is not None:
+            dsts, eids_, tss = _gather_triples(g.e_triples, idx)
+        else:
+            dsts = _gather_scalars(g.e_dst, idx)
+            eids_ = _gather_scalars(g.e_eid, idx)
+            tss = _gather_scalars(g.e_ts, idx)
 
     nbr_nids = jnp.where(mask, dsts, INVALID_NID)
     nbr_eids = jnp.where(mask, eids_, 0)

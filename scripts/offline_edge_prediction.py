@@ -32,7 +32,7 @@ from gnnflow_tpu.data import (DstRandEdgeSampler, get_batches, load_dataset,
                               load_feat, make_synthetic_dataset)
 from gnnflow_tpu.dynamic_graph import build_dynamic_graph
 from gnnflow_tpu.models import build_model
-from gnnflow_tpu.train import Trainer
+from gnnflow_tpu.train import Trainer, pad_feature_table
 from gnnflow_tpu.utils import (EarlyStopMonitor, average_precision_score,
                                roc_auc_score)
 from gnnflow_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -136,8 +136,8 @@ def main():
     trainer = Trainer(model, lr=lr, **sampler_kwargs)
 
     dg = dgraph.device_graph()
-    nfj = jnp.asarray(node_feats) if node_feats is not None else None
-    efj = jnp.asarray(edge_feats) if edge_feats is not None else None
+    nfj = pad_feature_table(node_feats)
+    efj = pad_feature_table(edge_feats)
 
     logging.info("initializing model/optimizer state (first compile)...")
     t0 = time.time()
