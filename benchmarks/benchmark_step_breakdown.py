@@ -131,7 +131,11 @@ def main():
     def stage_full(state, dg, ef, tn, ts, eids):
         new_state, loss, _, _ = trainer._step(
             state, dg, None, ef, tn, ts, eids, valid, True)
-        return loss + new_state.memory.data[0, 0]
+        # consume params + memory so XLA cannot DCE the optimizer update
+        # or the write-back
+        psum = jax.tree.reduce(lambda a, b: a + b.sum(),
+                               new_state.params, jnp.float32(0))
+        return loss + new_state.memory.data[0, 0] + psum
 
     stages = [("sample", stage_sample), ("pull", stage_pull),
               ("feats", stage_feats), ("fwd", stage_fwd),
