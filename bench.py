@@ -67,8 +67,11 @@ def main():
                     full.eid[sl], add_reverse=True)
     ingest_time = time.time() - ingest_start
 
-    dg = g.device_graph()
-    ef = pad_feature_table(ef_np)  # 128-aligned rows: 2x faster gathers
+    ef = pad_feature_table(ef_np)
+    # store-order feature table: recent sampling slab-gathers features
+    # (1 slab/root) instead of a scattered per-edge row gather
+    g.attach_edge_features(ef)
+    dg = g.device_graph()  # 128-aligned rows: 2x faster gathers
 
     batch_size = 4000
     # bfloat16 compute (params f32) — standard TPU mixed precision;

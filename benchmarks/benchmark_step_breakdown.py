@@ -22,6 +22,8 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--batch", type=int, default=4000)
 parser.add_argument("--repeats", type=int, default=20)
 parser.add_argument("--platform", default=None)
+parser.add_argument("--memory-storage", default="float32",
+                    choices=["float32", "bfloat16"])
 args = parser.parse_args()
 
 if args.platform:
@@ -61,15 +63,16 @@ def main():
         sl = slice(lo, min(lo + 100_000, len(full)))
         g.add_edges(full.src[sl], full.dst[sl], full.time[sl],
                     full.eid[sl], add_reverse=True)
-    dg = g.device_graph()
     ef = pad_feature_table(ef_np)
+    g.attach_edge_features(ef)
+    dg = g.device_graph()
     B = args.batch
     model = DGNN(dim_node=0, dim_edge=dim_edge, dim_time=100,
                  dim_embed=100, num_layers=1, num_snapshots=1, att_head=2,
                  dropout=0.2, att_dropout=0.2, use_memory=True,
                  dim_memory=100, compute_dtype="bfloat16")
     trainer = Trainer(model, fanouts=[10], sample_strategy="recent",
-                      lr=1e-4)
+                      lr=1e-4, memory_storage=args.memory_storage)
     state = trainer.init_state(jax.random.PRNGKey(0), dg, B, None, ef,
                                num_nodes=g.max_vertex_id() + 1)
     neg = DstRandEdgeSampler(train.dst, seed=1)

@@ -23,6 +23,28 @@ from flax import struct
 from gnnflow_tpu.common import MFG
 from gnnflow_tpu.models.modules import Linear, TimeEncode
 from gnnflow_tpu.ops.segment import unique_keep_last_mask
+from jax import lax
+
+
+def _pack_bf16(x: jax.Array) -> jax.Array:
+    """f32/bf16 [..., D] (D even) → i32 [..., D//2] (two bf16 per lane)."""
+    b = x.astype(jnp.bfloat16)
+    return lax.bitcast_convert_type(
+        b.reshape(*b.shape[:-1], -1, 2), jnp.int32)
+
+
+def _unpack_bf16(x: jax.Array) -> jax.Array:
+    """i32 [..., L] → bf16 [..., 2L] (inverse of :func:`_pack_bf16`)."""
+    b = lax.bitcast_convert_type(x, jnp.bfloat16)   # [..., L, 2]
+    return b.reshape(*x.shape[:-1], -1)
+
+
+def _pack_f32(x: jax.Array) -> jax.Array:
+    return lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+
+
+def _unpack_f32(x: jax.Array) -> jax.Array:
+    return lax.bitcast_convert_type(x, jnp.float32)
 
 
 class MemoryState(struct.PyTreeNode):
@@ -34,56 +56,100 @@ class MemoryState(struct.PyTreeNode):
     (``kvstore.py:159-177``), generalized to ``mailbox_slots = S`` mail
     slots (S > 1 is the APAN-style circular mailbox; ``ptr`` is the
     per-node write cursor).  On TPU this makes the per-batch memory pull
-    a single row gather; the logical tensors are column views."""
+    a single row gather; the logical tensors are column views.
+
+    ``storage="bfloat16"`` packs mem/mail values as bf16 *pairs* in int32
+    lanes (timestamps stay exact as bitcast f32 lanes), halving the
+    memory table's HBM footprint — an OOM headroom knob for graphs whose
+    node count makes the f32 table dominate HBM (GDELT/MAG scale).  It is
+    NOT a speed knob: measured on v5e the unpack bitcasts cost more than
+    the bandwidth they save (TPU row gathers are latency- not
+    width-bound), so keep the default ``storage="float32"`` when the
+    table fits.  Training math is unchanged up to bf16 storage
+    rounding."""
 
     data: jax.Array
     dim_memory: int = struct.field(pytree_node=False)
     mailbox_slots: int = struct.field(pytree_node=False, default=1)
+    storage: str = struct.field(pytree_node=False, default="float32")
+
+    @property
+    def packed(self) -> bool:
+        return self.storage == "bfloat16"
 
     @property
     def num_nodes(self) -> int:
         return self.data.shape[0]
 
     @property
+    def _dm(self) -> int:
+        """Lanes occupied by the memory columns."""
+        return self.dim_memory // 2 if self.packed else self.dim_memory
+
+    @property
     def dim_raw(self) -> int:
         s = self.mailbox_slots
-        return (self.data.shape[1] - self.dim_memory - 2 - s) // s
+        per = (self.data.shape[1] - self._dm - 2 - s) // s
+        return 2 * per if self.packed else per
+
+    @property
+    def _dr(self) -> int:
+        """Lanes occupied by one mail slot."""
+        return self.dim_raw // 2 if self.packed else self.dim_raw
 
     # -- column views (the reference's four tensors) --------------------
 
     @property
     def node_memory(self) -> jax.Array:
-        return self.data[:, : self.dim_memory]
+        block = self.data[:, : self._dm]
+        return _unpack_bf16(block).astype(jnp.float32) if self.packed \
+            else block
 
     @property
     def node_memory_ts(self) -> jax.Array:
-        return self.data[:, self.dim_memory]
+        col = self.data[:, self._dm]
+        return _unpack_f32(col) if self.packed else col
 
     @property
     def mailbox(self) -> jax.Array:
         """[N, dim_raw] (S==1) or [N, S, dim_raw]."""
-        dm, s, dr = self.dim_memory, self.mailbox_slots, self.dim_raw
-        block = self.data[:, dm + 1: dm + 1 + s * dr]
-        return block if s == 1 else block.reshape(-1, s, dr)
+        s, dr = self.mailbox_slots, self._dr
+        block = self.data[:, self._dm + 1: self._dm + 1 + s * dr]
+        if self.packed:
+            block = _unpack_bf16(block).astype(jnp.float32)
+        return block if s == 1 else block.reshape(-1, s, self.dim_raw)
 
     @property
     def mailbox_ts(self) -> jax.Array:
         s = self.mailbox_slots
         block = self.data[:, -1 - s: -1]
+        if self.packed:
+            block = _unpack_f32(block)
         return block[:, 0] if s == 1 else block
 
     @property
     def mailbox_ptr(self) -> jax.Array:
-        return self.data[:, -1]
+        col = self.data[:, -1]
+        return col.astype(jnp.float32) if self.packed else col
 
 
 def init_memory(num_nodes: int, dim_memory: int, dim_edge: int,
-                dtype=jnp.float32, mailbox_slots: int = 1) -> MemoryState:
+                dtype=jnp.float32, mailbox_slots: int = 1,
+                storage: str = "float32") -> MemoryState:
+    if storage not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown memory storage {storage!r}")
     dim_raw = 2 * dim_memory + dim_edge
-    cols = dim_memory + 1 + mailbox_slots * (dim_raw + 1) + 1
-    return MemoryState(
-        data=jnp.zeros((num_nodes, cols), dtype),
-        dim_memory=dim_memory, mailbox_slots=mailbox_slots)
+    if storage == "bfloat16":
+        if dim_memory % 2 or dim_raw % 2:
+            raise ValueError(
+                "bfloat16 memory storage needs even dim_memory/dim_raw")
+        cols = dim_memory // 2 + 1 + mailbox_slots * (dim_raw // 2 + 1) + 1
+        data = jnp.zeros((num_nodes, cols), jnp.int32)
+    else:
+        cols = dim_memory + 1 + mailbox_slots * (dim_raw + 1) + 1
+        data = jnp.zeros((num_nodes, cols), dtype)
+    return MemoryState(data=data, dim_memory=dim_memory,
+                       mailbox_slots=mailbox_slots, storage=storage)
 
 
 def reset_memory(state: MemoryState) -> MemoryState:
@@ -100,30 +166,42 @@ def resize_memory(state: MemoryState, num_nodes: int) -> MemoryState:
 
 def backup_memory(state: MemoryState) -> Dict:
     """Host-side snapshot (``memory.py:133-141``)."""
-    return {k: jax.device_get(v) for k, v in
-            dict(node_memory=state.node_memory,
-                 node_memory_ts=state.node_memory_ts,
-                 mailbox=state.mailbox,
-                 mailbox_ts=state.mailbox_ts,
-                 mailbox_ptr=state.mailbox_ptr).items()}
+    out = {k: jax.device_get(v) for k, v in
+           dict(node_memory=state.node_memory,
+                node_memory_ts=state.node_memory_ts,
+                mailbox=state.mailbox,
+                mailbox_ts=state.mailbox_ts,
+                mailbox_ptr=state.mailbox_ptr).items()}
+    out["storage"] = state.storage
+    return out
 
 
 def restore_memory(backup: Dict) -> MemoryState:
-    mem = jnp.asarray(backup["node_memory"])
-    mail = jnp.asarray(backup["mailbox"])
-    mail_ts = jnp.asarray(backup["mailbox_ts"])
+    mem = jnp.asarray(backup["node_memory"], jnp.float32)
+    mail = jnp.asarray(backup["mailbox"], jnp.float32)
+    mail_ts = jnp.asarray(backup["mailbox_ts"], jnp.float32)
     slots = 1 if mail.ndim == 2 else mail.shape[1]
     n = mem.shape[0]
+    storage = str(backup.get("storage", "float32"))
     ptr = jnp.asarray(backup.get("mailbox_ptr",
-                                 jnp.zeros((n,), mem.dtype)))
-    data = jnp.concatenate([
-        mem,
-        jnp.asarray(backup["node_memory_ts"])[:, None],
-        mail.reshape(n, -1),
-        mail_ts.reshape(n, -1),
-        ptr.reshape(n, 1)], axis=1)
+                                 jnp.zeros((n,), jnp.float32)))
+    mem_ts = jnp.asarray(backup["node_memory_ts"], jnp.float32)
+    if storage == "bfloat16":
+        data = jnp.concatenate([
+            _pack_bf16(mem),
+            _pack_f32(mem_ts)[:, None],
+            _pack_bf16(mail.reshape(n, -1)),
+            _pack_f32(mail_ts.reshape(n, -1)),
+            ptr.astype(jnp.int32).reshape(n, 1)], axis=1)
+    else:
+        data = jnp.concatenate([
+            mem,
+            mem_ts[:, None],
+            mail.reshape(n, -1),
+            mail_ts.reshape(n, -1),
+            ptr.astype(jnp.float32).reshape(n, 1)], axis=1)
     return MemoryState(data=data, dim_memory=mem.shape[1],
-                       mailbox_slots=slots)
+                       mailbox_slots=slots, storage=storage)
 
 
 def prepare_input(state: MemoryState, mfg: MFG) -> Dict[str, jax.Array]:
@@ -135,21 +213,30 @@ def prepare_input(state: MemoryState, mfg: MFG) -> Dict[str, jax.Array]:
     nids = mfg.all_nodes()
     safe = jnp.clip(nids, 0, state.num_nodes - 1)
     rows = state.data[safe]
-    dm = state.dim_memory
-    s, dr = state.mailbox_slots, state.dim_raw
+    dm, s = state._dm, state.mailbox_slots
+    dr = state._dr
     n = rows.shape[0]
+    mem = rows[:, :dm]
+    mem_ts = rows[:, dm]
     mails = rows[:, dm + 1: dm + 1 + s * dr]
     mail_ts = rows[:, dm + 1 + s * dr: -1]
+    if state.packed:
+        # bf16 views fuse into the GRU matmul reads (no f32 expansion)
+        mem = _unpack_bf16(mem)
+        mem_ts = _unpack_f32(mem_ts)
+        mails = _unpack_bf16(mails)
+        mail_ts = _unpack_f32(mail_ts)
     if s == 1:
-        return {"mem": rows[:, :dm], "mem_ts": rows[:, dm],
+        return {"mem": mem, "mem_ts": mem_ts,
                 "mail": mails, "mail_ts": mail_ts[:, 0]}
     return {
-        "mem": rows[:, :dm],
-        "mem_ts": rows[:, dm],
+        "mem": mem,
+        "mem_ts": mem_ts,
         # most recent mail = slot (ptr-1) mod S; also expose all slots
-        "mail": mails.reshape(n, s, dr),
+        "mail": mails.reshape(n, s, state.dim_raw),
         "mail_ts": mail_ts,
-        "mail_ptr": rows[:, -1],
+        "mail_ptr": rows[:, -1].astype(jnp.float32)
+        if state.packed else rows[:, -1],
     }
 
 
@@ -173,7 +260,6 @@ class GRUMemoryUpdater(nn.Module):
     def __call__(self, mfg: MFG, mem_input: Dict[str, jax.Array],
                  node_feats: Optional[jax.Array] = None
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        cdt = self.dtype or jnp.float32
         mail = mem_input["mail"]
         if mail.ndim == 3:
             # multi-slot mailbox: the GRU consumes the latest mail
@@ -181,18 +267,20 @@ class GRUMemoryUpdater(nn.Module):
             slot = (mem_input["mail_ptr"].astype(jnp.int32) - 1) % S
             sel = slot[:, None] == jnp.arange(S)[None, :]
             mail = jnp.sum(jnp.where(sel[..., None], mail, 0), axis=1)
-        mail = mail.astype(cdt)
-        mem = mem_input["mem"].astype(cdt)
+        mem = mem_input["mem"]  # casts fuse into the GRU matmul reads
         all_ts = mfg.all_ts()
 
-        x = mail
+        # x = [mail | time_feat] is never concatenated: FusedGRUCell's
+        # MultiLinear multiplies each part against a slice of one kernel,
+        # so the wide GRU input never hits HBM (bandwidth-bound step).
+        xs = [mail]
         if self.dim_time > 0:
             tf = TimeEncode(self.dim_time)(all_ts - mem_input["mem_ts"])
-            x = jnp.concatenate([mail, tf.astype(cdt)], axis=-1)
+            xs.append(tf)
 
         from gnnflow_tpu.models.modules import FusedGRUCell
         updated = FusedGRUCell(features=self.dim_memory,
-                               dtype=self.dtype)(mem, x)
+                               dtype=self.dtype)(mem, xs)
         updated = updated.astype(jnp.float32)
 
         num_dst = mfg.num_dst
@@ -300,7 +388,7 @@ def update_mem_mail(state: MemoryState,
 
     if edge_feats is None:
         dim_edge = state.dim_raw - 2 * state.dim_memory
-        edge_feats = jnp.zeros((b, dim_edge), state.data.dtype)
+        edge_feats = jnp.zeros((b, dim_edge), mem_src.dtype)
 
     src_mail = jnp.concatenate([mem_src, mem_dst, edge_feats], axis=1)
     dst_mail = jnp.concatenate([mem_dst, mem_src, edge_feats], axis=1)
@@ -318,31 +406,35 @@ def update_mem_mail(state: MemoryState,
     valid_block = jnp.concatenate([valid, valid]) & (
         last_updated_nid[:2 * b] >= 0)
 
-    dm = state.dim_memory
     n = state.num_nodes
-    S, dr = state.mailbox_slots, state.dim_raw
+    S = state.mailbox_slots
+    dmL, drL = state._dm, state._dr   # lane widths (packed or not)
+    packed = state.packed
     # NB: column-slice scatters are pathologically slow on TPU; instead
     # read-modify-write FULL rows (gather current row, replace the target
-    # columns, scatter whole rows).
+    # columns, scatter whole rows).  For bf16-packed storage the new
+    # columns are encoded first and the row assembled in lane space.
+    enc_mail = _pack_bf16(mail) if packed else mail
+    enc_mts = _pack_f32(mail_ts)[:, None] if packed else mail_ts[:, None]
     win_mail = unique_keep_last_mask(nid, valid_inter)
     safe_mail = jnp.clip(nid, 0, n - 1)
     cur = state.data[safe_mail]
     if S == 1:
         mail_rows = jnp.concatenate(
-            [cur[:, : dm + 1], mail, mail_ts[:, None], cur[:, -1:]],
+            [cur[:, : dmL + 1], enc_mail, enc_mts, cur[:, -1:]],
             axis=1)
     else:
         # APAN circular mailbox: write slot (ptr mod S), advance ptr
         ptr = cur[:, -1].astype(jnp.int32)
         slot = ptr % S
         sel = slot[:, None] == jnp.arange(S)[None, :]
-        old_mails = cur[:, dm + 1: dm + 1 + S * dr].reshape(-1, S, dr)
-        old_mts = cur[:, dm + 1 + S * dr: -1]
-        new_mails = jnp.where(sel[..., None], mail[:, None, :],
-                              old_mails).reshape(-1, S * dr)
-        new_mts = jnp.where(sel, mail_ts[:, None], old_mts)
+        old_mails = cur[:, dmL + 1: dmL + 1 + S * drL].reshape(-1, S, drL)
+        old_mts = cur[:, dmL + 1 + S * drL: -1]
+        new_mails = jnp.where(sel[..., None], enc_mail[:, None, :],
+                              old_mails).reshape(-1, S * drL)
+        new_mts = jnp.where(sel, enc_mts, old_mts)
         mail_rows = jnp.concatenate(
-            [cur[:, : dm + 1], new_mails, new_mts,
+            [cur[:, : dmL + 1], new_mails, new_mts,
              (ptr + 1).astype(cur.dtype)[:, None]], axis=1)
     data = state.data.at[jnp.where(win_mail, nid, n)].set(
         mail_rows, mode="drop")
@@ -350,11 +442,13 @@ def update_mem_mail(state: MemoryState,
     nid_mem = last_updated_nid[:2 * b]
     mem_vals = last_updated_memory[:2 * b]
     mem_ts = last_updated_ts[:2 * b]
+    enc_mem = _pack_bf16(mem_vals) if packed else mem_vals
+    enc_memts = _pack_f32(mem_ts)[:, None] if packed else mem_ts[:, None]
     win_mem = unique_keep_last_mask(nid_mem, valid_block)
     safe_mem = jnp.clip(nid_mem, 0, n - 1)
     cur = data[safe_mem]  # after the mailbox write (overlapping nids)
     mem_rows = jnp.concatenate(
-        [mem_vals, mem_ts[:, None], cur[:, dm + 1:]], axis=1)
+        [enc_mem, enc_memts, cur[:, dmL + 1:]], axis=1)
     data = data.at[jnp.where(win_mem, nid_mem, n)].set(
         mem_rows, mode="drop")
 

@@ -62,6 +62,57 @@ class Linear(nn.Module):
         return y
 
 
+class MultiLinear(nn.Module):
+    """``concat(parts, -1) @ kernel + bias`` computed as a SUM of per-part
+    matmuls against slices of ONE kernel parameter.
+
+    Numerically ≈ ``Linear(features)(concat(parts))`` (same kernel/bias
+    layout and initialization, so checkpoints are interchangeable) but the
+    wide concatenated input is never materialized in HBM — each part feeds
+    its matmul directly (with the bf16 cast fused into the read).  At 100k+
+    rows the step is bandwidth-bound, so skipping the concat copy (plus its
+    gradient-slicing counterpart in the backward pass) is a measurable win.
+
+    Zero-width parts are skipped (the dummy-feature cases of
+    ``layers.py:111-137``)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, parts):
+        dims = [p.shape[-1] for p in parts]
+        fan_in = sum(dims)
+        kinit = torch_kernel_init if fan_in > 0 else nn.initializers.zeros
+        kernel = self.param("kernel", kinit, (fan_in, self.features))
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+        y = None
+        off = 0
+        for p, d in zip(parts, dims):
+            if d == 0:
+                continue
+            if self.dtype is not None:
+                p = p.astype(self.dtype)
+            t = p @ kernel[off:off + d]
+            y = t if y is None else y + t
+            off += d
+        if y is None:
+            batch = parts[0].shape[:-1] if parts else ()
+            y = jnp.zeros((*batch, self.features),
+                          self.dtype or jnp.float32)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda k, s: torch_bias_init(k, s, fan_in=fan_in),
+                (self.features,))
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
+            y = y + bias
+        return y
+
+
 class FusedGRUCell(nn.Module):
     """GRU cell with fused 3-gate projections (torch.nn.GRUCell math).
 
@@ -81,8 +132,11 @@ class FusedGRUCell(nn.Module):
 
     @nn.compact
     def __call__(self, h, x):
+        """``x`` may be a list of parts (never concatenated — see
+        :class:`MultiLinear`) or a single array."""
         f = self.features
-        gi = Linear(3 * f, name="ih", dtype=self.dtype)(x)
+        xs = x if isinstance(x, (list, tuple)) else [x]
+        gi = MultiLinear(3 * f, name="ih", dtype=self.dtype)(xs)
         gh = Linear(3 * f, name="hh", dtype=self.dtype)(h)
         i_r, i_z, i_n = gi[..., :f], gi[..., f:2 * f], gi[..., 2 * f:]
         h_r, h_z, h_n = gh[..., :f], gh[..., f:2 * f], gh[..., 2 * f:]
@@ -152,11 +206,6 @@ class TemporalAttentionLayer(nn.Module):
         use_edge = self.dim_edge > 0
         use_time = self.dim_time > 0
         mask = mfg.nbr_mask  # [B, F]
-        if self.dtype is not None:
-            if h_all is not None:
-                h_all = h_all.astype(self.dtype)
-            if edge_feats is not None:
-                edge_feats = edge_feats.astype(self.dtype)
 
         if use_node:
             h_dst = h_all[:B]
@@ -172,24 +221,23 @@ class TemporalAttentionLayer(nn.Module):
         cdt = self.dtype or jnp.float32
         if use_time:
             time_enc = TimeEncode(self.dim_time)
-            tf = time_enc(mfg.nbr_dts).astype(cdt)         # [B, F, dt]
-            ztf = time_enc(jnp.zeros((B,), jnp.float32)).astype(cdt)
+            tf = time_enc(mfg.nbr_dts)                     # [B, F, dt]
+            ztf = time_enc(jnp.zeros((B,), jnp.float32))
         else:
             tf = jnp.zeros((B, F, 0), cdt)
             ztf = jnp.zeros((B, 0), cdt)
-        h_dst = h_dst.astype(cdt)
-        h_src = h_src.astype(cdt)
-        ef = ef.astype(cdt)
-
-        q_in = jnp.concatenate([h_dst, ztf], axis=-1)
-        kv_in = jnp.concatenate([h_src, ef, tf], axis=-1)
+        if not (use_node or use_time):
+            h_dst = h_dst.astype(cdt)  # identity-Q path
 
         if use_node or use_time:
-            Q = Linear(self.dim_out, name="w_q", dtype=self.dtype)(q_in)
+            Q = MultiLinear(self.dim_out, name="w_q",
+                            dtype=self.dtype)([h_dst, ztf])
         else:
-            Q = q_in  # identity (layers.py:76-79)
-        # fused K/V projection: one read of the (wide) kv_in instead of two
-        KV = Linear(2 * self.dim_out, name="w_kv", dtype=self.dtype)(kv_in)
+            Q = h_dst  # identity (layers.py:76-79)
+        # fused K/V projection (one kernel for K and V) computed as a sum
+        # of per-part matmuls — the wide [*, h|e|t] concat never hits HBM
+        KV = MultiLinear(2 * self.dim_out, name="w_kv",
+                         dtype=self.dtype)([h_src, ef, tf])
         K, V = KV[..., : self.dim_out], KV[..., self.dim_out:]
 
         H = self.num_head
@@ -218,11 +266,9 @@ class TemporalAttentionLayer(nn.Module):
             agg = jnp.sum(Vh * att[..., None].astype(cdt), axis=1) \
                 .reshape(B, self.dim_out)
 
-        if use_node:
-            rst = jnp.concatenate([agg, h_dst], axis=-1)
-        else:
-            rst = agg
-        rst = Linear(self.dim_out, name="w_out", dtype=self.dtype)(rst)
+        out_parts = [agg, h_dst] if use_node else [agg]
+        rst = MultiLinear(self.dim_out, name="w_out",
+                          dtype=self.dtype)(out_parts)
         rst = nn.relu(nn.Dropout(self.dropout,
                                  deterministic=not train)(rst))
         return nn.LayerNorm(epsilon=1e-5)(rst.astype(jnp.float32))

@@ -105,10 +105,19 @@ def fetch_features(mfgs: List[List[MFG]],
                                 mfg.all_mask(), dim_node))
     efs = []
     for layer in mfgs:
-        efs.append([
-            _gather_rows(edge_feats, mfg.nbr_eids, mfg.nbr_mask,
-                         dim_edge)
-            for mfg in layer])
+        row = []
+        for mfg in layer:
+            if mfg.nbr_feats is not None and edge_feats is not None:
+                # the sampler already slab-gathered store-order features
+                # (ops/sampling._slab_feats) — masked there; just un-pad
+                f = mfg.nbr_feats
+                if dim_edge is not None and dim_edge < f.shape[-1]:
+                    f = f[..., :dim_edge]
+                row.append(f)
+            else:
+                row.append(_gather_rows(edge_feats, mfg.nbr_eids,
+                                        mfg.nbr_mask, dim_edge))
+        efs.append(row)
     return nfs, efs
 
 
@@ -118,7 +127,7 @@ class Trainer:
     def __init__(self, model: DGNN, *, fanouts, sample_strategy="recent",
                  num_snapshots=1, snapshot_time_window=0.0, prop_time=False,
                  is_static=False, lr=1e-4, optimizer=None,
-                 neg_sample_ratio=1):
+                 neg_sample_ratio=1, memory_storage="float32"):
         self.model = model
         self.fanouts = tuple(int(f) for f in fanouts)
         self.strategy = sample_strategy
@@ -128,6 +137,7 @@ class Trainer:
         self.is_static = bool(is_static)
         self.tx = optimizer if optimizer is not None else optax.adam(lr)
         self.neg_ratio = int(neg_sample_ratio)
+        self.memory_storage = str(memory_storage)
         model_ratio = int(getattr(model, "neg_sample_ratio", 1))
         if model_ratio != self.neg_ratio:
             raise ValueError(
@@ -204,7 +214,8 @@ class Trainer:
         in partitioned/multi-process mode)."""
         return memory_lib.init_memory(
             num_nodes, self.model.dim_memory, self.model.dim_edge,
-            mailbox_slots=getattr(self.model, "mailbox_slots", 1))
+            mailbox_slots=getattr(self.model, "mailbox_slots", 1),
+            storage=self.memory_storage)
 
     @staticmethod
     def _iters(dg) -> int:

@@ -62,6 +62,11 @@ parser.add_argument("--edge-cache-ratio", type=float, default=0)
 parser.add_argument("--node-cache-ratio", type=float, default=0)
 parser.add_argument("--snapshot-time-window", type=float, default=0)
 parser.add_argument("--synthetic-edges", type=int, default=100_000)
+parser.add_argument("--memory-storage", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 halves the memory table's HBM "
+                         "footprint (capacity knob for GDELT/MAG-scale "
+                         "node counts; float32 is faster when it fits)")
 parser.add_argument("--use-scan", action="store_true",
                     help="run each epoch as one lax.scan dispatch "
                          "(fastest; per-iteration logs unavailable)")
@@ -133,11 +138,21 @@ def main():
                                         dim_node, dim_edge)
     batch_size = model_config["batch_size"]
     lr = args.lr * math.sqrt(args.num_devices)
-    trainer = Trainer(model, lr=lr, **sampler_kwargs)
+    trainer = Trainer(model, lr=lr,
+                      memory_storage=args.memory_storage,
+                      **sampler_kwargs)
 
-    dg = dgraph.device_graph()
     nfj = pad_feature_table(node_feats)
     efj = pad_feature_table(edge_feats)
+    # Resident-feature fast path: keep a store-order copy of the edge
+    # features so recent sampling slab-gathers them (1 slab per root vs a
+    # scattered per-edge row gather).  Cache mode fetches host-side
+    # instead, and uniform picks are scattered — skip there.
+    if (efj is not None and not args.cache
+            and sampler_kwargs.get("sample_strategy", "recent")
+            == "recent"):
+        dgraph.attach_edge_features(efj)
+    dg = dgraph.device_graph()
 
     logging.info("initializing model/optimizer state (first compile)...")
     t0 = time.time()

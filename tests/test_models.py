@@ -152,6 +152,55 @@ def test_memory_backup_restore_resize():
     np.testing.assert_allclose(np.asarray(grown.node_memory[6]), 0.0)
 
 
+@pytest.mark.parametrize("slots", [1, 3])
+def test_memory_bf16_storage_matches_float32(slots):
+    """bfloat16-packed rows behave like the float32 layout up to bf16
+    rounding of the stored mem/mail values; timestamps stay EXACT."""
+    rng = np.random.RandomState(0)
+    n, dm, de = 12, 4, 2
+    f32 = memory_lib.init_memory(n, dm, de, mailbox_slots=slots)
+    bf = memory_lib.init_memory(n, dm, de, mailbox_slots=slots,
+                                storage="bfloat16")
+    assert bf.data.dtype == jnp.int32
+    assert bf.dim_raw == f32.dim_raw == 2 * dm + de
+
+    for step in range(3):   # several writes to exercise slot rotation
+        nid = jnp.asarray(rng.randint(0, n, size=9), jnp.int32)
+        mem = jnp.asarray(rng.randn(9, dm), jnp.float32)
+        ts = jnp.asarray(rng.rand(9) * 1e5, jnp.float32)
+        ef = jnp.asarray(rng.randn(3, de), jnp.float32)
+        f32 = memory_lib.update_mem_mail(f32, nid, mem, ts, edge_feats=ef)
+        bf = memory_lib.update_mem_mail(bf, nid, mem, ts, edge_feats=ef)
+
+    np.testing.assert_allclose(np.asarray(bf.node_memory),
+                               np.asarray(f32.node_memory),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(bf.node_memory_ts),
+                                  np.asarray(f32.node_memory_ts))
+    np.testing.assert_allclose(np.asarray(bf.mailbox, np.float32),
+                               np.asarray(f32.mailbox),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(bf.mailbox_ts),
+                                  np.asarray(f32.mailbox_ts))
+    np.testing.assert_array_equal(np.asarray(bf.mailbox_ptr),
+                                  np.asarray(f32.mailbox_ptr))
+
+    # prepare_input decodes the same values (bf16 for mem/mail)
+    mfg = make_mfg(4, 3, seed=7)
+    mi_f, mi_b = (memory_lib.prepare_input(s, mfg) for s in (f32, bf))
+    np.testing.assert_array_equal(np.asarray(mi_b["mem_ts"]),
+                                  np.asarray(mi_f["mem_ts"]))
+    np.testing.assert_allclose(np.asarray(mi_b["mem"], np.float32),
+                               np.asarray(mi_f["mem"]),
+                               rtol=1e-2, atol=1e-2)
+
+    # backup/restore roundtrips the packed layout exactly
+    restored = memory_lib.restore_memory(memory_lib.backup_memory(bf))
+    assert restored.storage == "bfloat16"
+    np.testing.assert_array_equal(np.asarray(restored.data),
+                                  np.asarray(bf.data))
+
+
 def _sample_mfgs(num_layers=1, num_snapshots=1, B=6, F=3):
     mfgs = []
     roots = B
