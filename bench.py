@@ -68,9 +68,6 @@ def main():
     ingest_time = time.time() - ingest_start
 
     ef = pad_feature_table(ef_np)
-    # store-order feature table: recent sampling slab-gathers features
-    # (1 slab/root) instead of a scattered per-edge row gather
-    g.attach_edge_features(ef)
     dg = g.device_graph()  # 128-aligned rows: 2x faster gathers
 
     batch_size = 4000

@@ -64,7 +64,6 @@ def main():
         g.add_edges(full.src[sl], full.dst[sl], full.time[sl],
                     full.eid[sl], add_reverse=True)
     ef = pad_feature_table(ef_np)
-    g.attach_edge_features(ef)
     dg = g.device_graph()
     B = args.batch
     model = DGNN(dim_node=0, dim_edge=dim_edge, dim_time=100,

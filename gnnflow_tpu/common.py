@@ -31,12 +31,6 @@ INVALID_NID = -1
 # float32 max (temporal_sampler.py:72-76).
 STATIC_TS = float(np.finfo(np.float32).max)
 
-# Front padding (rows) of the store-order edge-feature table
-# (DeviceGraph.e_feat): keeps every recent-sampling slab start
-# ``off + e_idx - fanout + FEAT_FRONT_PAD`` in-bounds for fanout up to
-# this many slots.
-FEAT_FRONT_PAD = 128
-
 
 class MFG(struct.PyTreeNode):
     """A padded message flow graph for one (layer, snapshot).
@@ -62,13 +56,6 @@ class MFG(struct.PyTreeNode):
     nbr_dts: jax.Array     # [B, F] float32 (root_ts - edge_ts)
     nbr_eids: jax.Array    # [B, F] int32
     nbr_mask: jax.Array    # [B, F] bool
-    # Optional pre-fetched edge features [B, F, D] riding along from the
-    # sampler's store-order feature table (DeviceGraph.e_feat): for recent
-    # sampling the picked slots form a contiguous run in the time-sorted
-    # region, so one slab gather per root replaces the per-edge row gather
-    # that ``fetch_features`` would otherwise issue (~10x fewer gather
-    # rows).  None -> fetch by ``nbr_eids`` as usual.
-    nbr_feats: Optional[jax.Array] = None
 
     @property
     def num_dst(self) -> int:

@@ -64,17 +64,6 @@ class DeviceGraph(struct.PyTreeNode):
     # lane-interleaved (off,len) node table (build_pair_table); None →
     # samplers fall back to two separate gathers
     v_pairs: Optional[jax.Array] = None
-    # store-order edge features [FEAT_FRONT_PAD + C, D]: row
-    # ``FEAT_FRONT_PAD + slot`` holds the features of the edge in pool
-    # slot ``slot`` (i.e. ``edge_feats[e_eid[slot]]``).  With recent
-    # sampling the fanout picks are a contiguous slot run, so the sampler
-    # fetches features as ONE [fanout, D] slab per root instead of a
-    # scattered per-edge row gather (train.fetch_features) — TPU gathers
-    # are per-row latency-bound, so ~fanout× fewer rows.  The front pad
-    # keeps ``off + e_idx - fanout + FEAT_FRONT_PAD`` non-negative.
-    # Built by :meth:`DynamicGraph.attach_edge_features`; None → features
-    # are fetched by eid downstream.
-    e_feat: Optional[jax.Array] = None
     search_iters: int = struct.field(pytree_node=False, default=32)
 
     @property
@@ -179,11 +168,6 @@ class DynamicGraph:
         # Lazy device view.
         self._device_graph: Optional[DeviceGraph] = None
         self._dirty = True
-        # Attached edge-feature table (attach_edge_features): the device
-        # view carries a store-order copy so recent sampling can slab-
-        # gather features.
-        self._edge_feats_for_store: Optional[jax.Array] = None
-        self._edge_feats_dtype = None
 
         if source_vertices is not None and target_vertices is not None \
                 and timestamps is not None:
@@ -519,40 +503,6 @@ class DynamicGraph:
                 return None
         return None  # default device
 
-    def attach_edge_features(self, edge_feats, dtype=None) -> None:
-        """Attach an edge-feature table so the device view carries a
-        STORE-ORDER copy (``e_feat[FEAT_FRONT_PAD + slot] =
-        edge_feats[e_eid[slot]]``) and recent sampling returns features as
-        one contiguous [fanout, D] slab per root instead of a scattered
-        per-eid row gather (TPU gathers are per-row latency-bound).
-
-        Costs ``(pool_capacity + FEAT_FRONT_PAD) * D`` entries of HBM
-        (~2× the eid-ordered table with reverse edges) — attach only when
-        that fits; everything falls back to the eid gather otherwise.
-        The copy is rebuilt on the next :meth:`device_graph` refresh after
-        ingestion (slots move on region growth/resort).  ``dtype`` (e.g.
-        ``jnp.bfloat16``) halves the footprint for bf16-compute models."""
-        self._edge_feats_for_store = edge_feats
-        self._edge_feats_dtype = dtype
-        self._dirty = True
-
-    def _build_store_feats(self, put) -> Optional[jax.Array]:
-        if self._edge_feats_for_store is None:
-            return None
-        from gnnflow_tpu.common import FEAT_FRONT_PAD
-        ef = self._edge_feats_for_store
-        c = self._pool_cap
-
-        @jax.jit
-        def build(ef, eid):
-            tab = ef[jnp.clip(eid, 0, ef.shape[0] - 1)]
-            if self._edge_feats_dtype is not None:
-                tab = tab.astype(self._edge_feats_dtype)
-            return jnp.pad(tab, ((FEAT_FRONT_PAD, 0), (0, 0)))
-
-        return build(put(jnp.asarray(ef)),
-                     put(jnp.asarray(self._eid[:c].astype(np.int32))))
-
     def device_graph(self, refresh: bool = False) -> DeviceGraph:
         """Return the device-resident view, refreshing it if the host
         mirror changed since the last call."""
@@ -588,7 +538,6 @@ class DynamicGraph:
             e_eid=put(self._eid.astype(EID_DTYPE)[:c]),
             e_triples=put(triples),
             v_pairs=put(pairs.reshape(n64, 128)),
-            e_feat=self._build_store_feats(put),
             search_iters=max(1, self._max_degree.bit_length()),
         )
         self._dirty = False

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gnnflow_tpu.common import (EID_DTYPE, FEAT_FRONT_PAD, INVALID_NID,
+from gnnflow_tpu.common import (EID_DTYPE, INVALID_NID,
                                 MFG, NID_DTYPE, TS_DTYPE)
 from gnnflow_tpu.dynamic_graph import DeviceGraph
 
@@ -365,7 +365,6 @@ def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
             tss = _gather_windows(g.e_ts, win_start, idx)
         else:
             dsts, eids_, tss = g.e_dst[idx], g.e_eid[idx], g.e_ts[idx]
-        nbr_feats = _slab_feats(g, off, e_idx, fanout, mask)
     else:
         if key is None:
             raise ValueError("uniform sampling requires a PRNG key")
@@ -382,7 +381,6 @@ def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
             dsts = _gather_scalars(g.e_dst, idx)
             eids_ = _gather_scalars(g.e_eid, idx)
             tss = _gather_scalars(g.e_ts, idx)
-        nbr_feats = None  # uniform picks are scattered: no slab run
 
     nbr_nids = jnp.where(mask, dsts, INVALID_NID)
     nbr_eids = jnp.where(mask, eids_, 0)
@@ -396,35 +394,7 @@ def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
 
     return MFG(root_nids=roots, root_ts=root_ts, nbr_nids=nbr_nids,
                nbr_ts=nbr_ts, nbr_dts=nbr_dts, nbr_eids=nbr_eids,
-               nbr_mask=mask, nbr_feats=nbr_feats)
-
-
-def _slab_feats(g: DeviceGraph, off: jax.Array, e_idx: jax.Array,
-                fanout: int, mask: jax.Array) -> jax.Array | None:
-    """Recent-pick edge features via ONE [fanout, D] slab per root.
-
-    Recent picks occupy store slots ``off + e_idx - 1 - k`` for ``k in
-    [0, fanout)`` — a contiguous run.  With the store-order table
-    ``g.e_feat`` (front-padded by FEAT_FRONT_PAD rows, see
-    ``DynamicGraph.attach_edge_features``) the slab starting at
-    ``off + e_idx - fanout + FEAT_FRONT_PAD`` holds pick ``k`` at slab row
-    ``fanout - 1 - k`` EXACTLY (no data-dependent realignment: the start
-    is not clamped to the run head, rows before it belong to other
-    vertices/earlier windows and are zeroed by ``mask``).  One gather of
-    B slabs replaces B*fanout scattered feature-row gathers — TPU gathers
-    are per-row latency-bound, so this is ~fanout× fewer rows."""
-    if g.e_feat is None or fanout > FEAT_FRONT_PAD:
-        return None
-    tab = g.e_feat
-    d = tab.shape[1]
-    start = off + e_idx - fanout + FEAT_FRONT_PAD   # >= 0 by construction
-
-    def one(s):
-        return lax.dynamic_slice(tab, (s, 0), (fanout, d))
-
-    slab = jax.vmap(one)(start)                     # [B, fanout, D]
-    return jnp.where(mask[..., None], slab[:, ::-1, :], 0)
-
+               nbr_mask=mask)
 
 @functools.partial(
     jax.jit,

@@ -107,16 +107,8 @@ def fetch_features(mfgs: List[List[MFG]],
     for layer in mfgs:
         row = []
         for mfg in layer:
-            if mfg.nbr_feats is not None and edge_feats is not None:
-                # the sampler already slab-gathered store-order features
-                # (ops/sampling._slab_feats) — masked there; just un-pad
-                f = mfg.nbr_feats
-                if dim_edge is not None and dim_edge < f.shape[-1]:
-                    f = f[..., :dim_edge]
-                row.append(f)
-            else:
-                row.append(_gather_rows(edge_feats, mfg.nbr_eids,
-                                        mfg.nbr_mask, dim_edge))
+            row.append(_gather_rows(edge_feats, mfg.nbr_eids,
+                                    mfg.nbr_mask, dim_edge))
         efs.append(row)
     return nfs, efs
 

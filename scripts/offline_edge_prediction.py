@@ -144,14 +144,6 @@ def main():
 
     nfj = pad_feature_table(node_feats)
     efj = pad_feature_table(edge_feats)
-    # Resident-feature fast path: keep a store-order copy of the edge
-    # features so recent sampling slab-gathers them (1 slab per root vs a
-    # scattered per-edge row gather).  Cache mode fetches host-side
-    # instead, and uniform picks are scattered — skip there.
-    if (efj is not None and not args.cache
-            and sampler_kwargs.get("sample_strategy", "recent")
-            == "recent"):
-        dgraph.attach_edge_features(efj)
     dg = dgraph.device_graph()
 
     logging.info("initializing model/optimizer state (first compile)...")
