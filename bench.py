@@ -67,6 +67,10 @@ def main():
                     full.eid[sl], add_reverse=True)
     ingest_time = time.time() - ingest_start
 
+    # f32 feature table: measured FASTER end-to-end than bf16 despite the
+    # gather stage itself improving (row gathers are per-row latency-bound,
+    # and the bf16 rows cost extra convert work downstream) — see
+    # BASELINE.md negative results
     ef = pad_feature_table(ef_np)
     dg = g.device_graph()  # 128-aligned rows: 2x faster gathers
 

@@ -24,6 +24,7 @@ parser.add_argument("--repeats", type=int, default=20)
 parser.add_argument("--platform", default=None)
 parser.add_argument("--memory-storage", default="float32",
                     choices=["float32", "bfloat16"])
+parser.add_argument("--gru-impl", default="xla", choices=["xla", "pallas"])
 args = parser.parse_args()
 
 if args.platform:
@@ -69,7 +70,8 @@ def main():
     model = DGNN(dim_node=0, dim_edge=dim_edge, dim_time=100,
                  dim_embed=100, num_layers=1, num_snapshots=1, att_head=2,
                  dropout=0.2, att_dropout=0.2, use_memory=True,
-                 dim_memory=100, compute_dtype="bfloat16")
+                 dim_memory=100, compute_dtype="bfloat16",
+                 gru_impl=args.gru_impl)
     trainer = Trainer(model, fanouts=[10], sample_strategy="recent",
                       lr=1e-4, memory_storage=args.memory_storage)
     state = trainer.init_state(jax.random.PRNGKey(0), dg, B, None, ef,

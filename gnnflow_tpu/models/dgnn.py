@@ -60,6 +60,7 @@ class DGNN(nn.Module):
     mailbox_slots: int = 1        # >1: APAN-style circular mailbox
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" mixed precision
     attention_impl: str = "xla"          # "xla" | "pallas"
+    gru_impl: str = "xla"                # "xla" | "pallas" (fused memory GRU)
     neg_sample_ratio: int = 1            # negatives per positive edge
 
     def setup(self):
@@ -72,7 +73,8 @@ class DGNN(nn.Module):
             if self.memory_updater == "gru":
                 self.updater = GRUMemoryUpdater(
                     self.dim_node, self.dim_edge, self.dim_time,
-                    self.dim_embed, self.dim_memory, dtype=cdt)
+                    self.dim_embed, self.dim_memory, dtype=cdt,
+                    impl=self.gru_impl)
             elif self.memory_updater == "transformer":
                 self.updater = TransformerMemoryUpdater(
                     self.dim_node, self.dim_edge, self.dim_time,

@@ -255,6 +255,7 @@ class GRUMemoryUpdater(nn.Module):
     dim_embed: int
     dim_memory: int
     dtype: Optional[jnp.dtype] = None
+    impl: str = "xla"   # "xla" | "pallas" (fused TimeEncode+GRU kernel)
 
     @nn.compact
     def __call__(self, mfg: MFG, mem_input: Dict[str, jax.Array],
@@ -270,17 +271,20 @@ class GRUMemoryUpdater(nn.Module):
         mem = mem_input["mem"]  # casts fuse into the GRU matmul reads
         all_ts = mfg.all_ts()
 
-        # x = [mail | time_feat] is never concatenated: FusedGRUCell's
-        # MultiLinear multiplies each part against a slice of one kernel,
-        # so the wide GRU input never hits HBM (bandwidth-bound step).
-        xs = [mail]
+        from gnnflow_tpu.models.modules import FusedGRUCell, TimeEncode
+        cell = FusedGRUCell(features=self.dim_memory, dtype=self.dtype,
+                            impl=self.impl)
         if self.dim_time > 0:
-            tf = TimeEncode(self.dim_time)(all_ts - mem_input["mem_ts"])
-            xs.append(tf)
-
-        from gnnflow_tpu.models.modules import FusedGRUCell
-        updated = FusedGRUCell(features=self.dim_memory,
-                               dtype=self.dtype)(mem, xs)
+            # the time part is handed to the cell as (dts, w, b) so the
+            # pallas impl can compute the encoding in-register; mem/mail/
+            # dts are detached state (memory.py:58-66), satisfying the
+            # fused kernel's params-only gradient contract
+            te = TimeEncode(self.dim_time)
+            tw, tb = te.weights()
+            dts = all_ts - mem_input["mem_ts"]
+            updated = cell(mem, [mail], time=(dts, tw, tb))
+        else:
+            updated = cell(mem, [mail])
         updated = updated.astype(jnp.float32)
 
         num_dst = mfg.num_dst

@@ -113,6 +113,31 @@ class MultiLinear(nn.Module):
         return y
 
 
+class GateParams(nn.Module):
+    """Kernel/bias parameter holder with torch-default init.
+
+    Param tree (``<name>/kernel``, ``<name>/bias``) and initialization are
+    identical to :class:`Linear`/:class:`MultiLinear` children, so modules
+    that need raw weight access (the fused Pallas GRU) stay
+    checkpoint-compatible with the matmul formulation."""
+
+    in_features: int
+    out_features: int
+
+    def setup(self):
+        kinit = torch_kernel_init if self.in_features > 0 \
+            else nn.initializers.zeros
+        self.kernel = self.param(
+            "kernel", kinit, (self.in_features, self.out_features))
+        self.bias = self.param(
+            "bias",
+            lambda k, s: torch_bias_init(k, s, fan_in=self.in_features),
+            (self.out_features,))
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
 class FusedGRUCell(nn.Module):
     """GRU cell with fused 3-gate projections (torch.nn.GRUCell math).
 
@@ -125,19 +150,58 @@ class FusedGRUCell(nn.Module):
         z = sigmoid(x@Wiz + biz + h@Whz + bhz)
         n = tanh  (x@Win + bin + r * (h@Whn + bhn))
         h' = (1 - z) * n + z * h
+
+    ``impl="pallas"`` + a ``time`` input runs the fused Pallas kernel
+    (:func:`gnnflow_tpu.ops.gru_pallas.gru_memory_fused`): the time
+    encoding is computed in-register and no gate intermediate touches
+    HBM.  That path propagates gradients to the PARAMETERS ONLY — ``h``
+    and ``x`` must be non-differentiable state (the TGN memory case);
+    differentiable-input users (DySAT combiner) keep ``impl="xla"``.
     """
 
     features: int
     dtype: Optional[jnp.dtype] = None
+    impl: str = "xla"          # "xla" | "pallas" (state inputs only)
 
     @nn.compact
-    def __call__(self, h, x):
+    def __call__(self, h, x, time=None):
         """``x`` may be a list of parts (never concatenated — see
-        :class:`MultiLinear`) or a single array."""
+        :class:`MultiLinear`) or a single array.  ``time`` is an optional
+        ``(dts, time_w, time_b)`` triple appending a TimeEncode part
+        ``cos(dts * w + b)`` to ``x`` (fused in-kernel on the pallas
+        path)."""
         f = self.features
-        xs = x if isinstance(x, (list, tuple)) else [x]
-        gi = MultiLinear(3 * f, name="ih", dtype=self.dtype)(xs)
-        gh = Linear(3 * f, name="hh", dtype=self.dtype)(h)
+        xs = list(x) if isinstance(x, (list, tuple)) else [x]
+        dims = [p.shape[-1] for p in xs]
+        fan_in = sum(dims) + (time[1].shape[0] if time is not None else 0)
+        ki, bi = GateParams(fan_in, 3 * f, name="ih")()
+        kh, bh = GateParams(h.shape[-1], 3 * f, name="hh")()
+
+        if self.impl == "pallas" and time is not None and len(xs) == 1:
+            from gnnflow_tpu.ops.gru_pallas import gru_memory_fused
+            dts, tw, tb = time
+            return gru_memory_fused(
+                h, xs[0], dts, ki, bi, kh, bh, tw, tb,
+                jnp.dtype(self.dtype).name if self.dtype else None,
+                512, jax.default_backend() == "cpu")
+
+        if time is not None:
+            dts, tw, tb = time
+            xs.append(jnp.cos(dts[..., None] * tw + tb))
+            dims.append(tw.shape[0])
+
+        cast = (lambda a: a.astype(self.dtype)) if self.dtype is not None \
+            else (lambda a: a)
+        gi = None
+        off = 0
+        for p, d in zip(xs, dims):
+            if d == 0:
+                continue
+            t = cast(p) @ cast(ki[off:off + d])
+            gi = t if gi is None else gi + t
+            off += d
+        gi = cast(bi) if gi is None else gi + cast(bi)
+        gh = cast(h) @ cast(kh) + cast(bh)
         i_r, i_z, i_n = gi[..., :f], gi[..., f:2 * f], gi[..., 2 * f:]
         h_r, h_z, h_n = gh[..., :f], gh[..., f:2 * f], gh[..., 2 * f:]
         r = nn.sigmoid(i_r + h_r)
@@ -149,20 +213,27 @@ class FusedGRUCell(nn.Module):
 
 class TimeEncode(nn.Module):
     """TGAT fixed-frequency time encoding: ``cos(w * dt + b)`` with
-    ``w = 1/10^linspace(0, 9, d)`` (``layers.py:16-35``).  Trainable."""
+    ``w = 1/10^linspace(0, 9, d)`` (``layers.py:16-35``).  Trainable.
+
+    Setup-style so :meth:`weights` can hand the raw params to fused
+    kernels (the Pallas GRU computes the encoding in-register)."""
 
     dim_time: int
 
-    @nn.compact
-    def __call__(self, delta_time: jax.Array) -> jax.Array:
-        w = self.param(
+    def setup(self):
+        self.w = self.param(
             "w",
             lambda key, shape: jnp.asarray(
                 1.0 / 10 ** np.linspace(0, 9, self.dim_time,
                                         dtype=np.float32)),
             (self.dim_time,))
-        b = self.param("b", nn.initializers.zeros, (self.dim_time,))
-        return jnp.cos(delta_time[..., None] * w + b)
+        self.b = self.param("b", nn.initializers.zeros, (self.dim_time,))
+
+    def __call__(self, delta_time: jax.Array) -> jax.Array:
+        return jnp.cos(delta_time[..., None] * self.w + self.b)
+
+    def weights(self):
+        return self.w, self.b
 
 
 def masked_softmax(scores: jax.Array, mask: jax.Array,

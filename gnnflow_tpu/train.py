@@ -57,18 +57,27 @@ def link_pred_loss(pos: jax.Array, neg: jax.Array, valid: jax.Array,
             / (denom * neg_ratio))
 
 
-def pad_feature_table(table, lanes: int = 128):
+def pad_feature_table(table, lanes: int = 128, dtype=None):
     """Zero-pad feature rows to a lane multiple.
 
     TPU row gathers from 128-aligned rows run ~2x faster than from odd
     widths (measured: [672k, 172] f32 gather 3.7 ms vs 1.8 ms at width
     256 for 120k rows on v5e).  ``fetch_features`` slices the pad back
-    off, and the slice fuses into the consumers."""
+    off, and the slice fuses into the consumers.
+
+    ``dtype=jnp.bfloat16`` halves the table's HBM footprint — an HBM
+    *capacity* knob for oversize tables.  It is NOT a throughput knob:
+    measured on v5e, the bf16 table improves the isolated gather stage
+    (+1.48 -> +1.08 ms) but regresses the full step ~3% (row gathers are
+    per-row latency-bound, and the narrow rows cost convert work in the
+    consumers) — see BASELINE.md negative results."""
     if table is None:
         return None
     d = table.shape[1]
     pad = (-d) % lanes
     t = jnp.asarray(table)
+    if dtype is not None:
+        t = t.astype(dtype)
     return t if pad == 0 else jnp.pad(t, ((0, 0), (0, pad)))
 
 
