@@ -79,11 +79,16 @@ def main():
         print(f"{name:>10}: {ms:8.2f} ms", flush=True)
 
     # ---- full 2-layer
+    def consume(mfgs):
+        # sum over EVERY output so no snapshot/layer is DCE'd
+        return sum(m.nbr_nids.sum() + m.nbr_eids.sum()
+                   + m.nbr_ts.sum() for layer in mfgs for m in layer)
+
     def run_full(k):
         mfgs = S.sample_hops(dg, roots, ts, fanouts=(F, F),
                              strategy="uniform", num_snapshots=SN,
                              window=W, search_iters=iters, key=k)
-        return mfgs[0][0].nbr_nids
+        return consume(mfgs)
 
     # ---- layer 1 only
     def run_l1(k):
@@ -92,8 +97,9 @@ def main():
         ms = S.sample_layer_snapshots(dg, R, T, fanout=F,
                                       strategy="uniform",
                                       num_snapshots=SN, window=W,
-                                      search_iters=iters, key=k)
-        return ms[0].nbr_nids
+                                      search_iters=iters,
+                                      shared_roots=True, key=k)
+        return consume([ms])
 
     # layer-2 root set (from a real layer-1 sample, fetched once)
     R1 = jnp.stack([roots] * SN)
@@ -111,7 +117,7 @@ def main():
                                       strategy="uniform",
                                       num_snapshots=SN, window=W,
                                       search_iters=iters, key=k)
-        return ms[0].nbr_nids
+        return consume([ms])
 
     # ---- layer-2 pair lookups only
     def run_pairs2(R):
@@ -126,8 +132,8 @@ def main():
         off, ln = S._root_off_len(dg, nid, valid)
         end_ts = T
         start_ts = end_ts - W
-        both = S._lower_bound(
-            dg.e_ts, jnp.stack([off, off]), jnp.stack([ln, ln]),
+        both = S._lower_bound_multi(
+            dg.e_ts, off, ln,
             jnp.stack([start_ts, end_ts]), iters)
         return both
 
@@ -136,7 +142,8 @@ def main():
         rng.randint(0, args.num_edges, (SN, B2, F)), jnp.int32)
 
     def run_picks2(idx):
-        return S._gather_triples(dg.e_triples, idx)[0]
+        d, e, t = S._gather_triples(dg.e_triples, idx)
+        return d.sum() + e.sum() + t.sum()
 
     # ---- select alone: one-hot select over pre-gathered rows
     flat = idx2.reshape(-1)
@@ -144,7 +151,8 @@ def main():
     lane = 3 * (flat - row * S._TRIPLES_PER_ROW)
 
     def run_select2(rows_in, lane):
-        return S._select_triples(rows_in, lane)[0]
+        d, e, t = S._select_triples(rows_in, lane)
+        return d.sum() + e.sum() + t.sum()
 
     rows_pre = jax.jit(
         lambda r: dg.e_triples[jnp.clip(r, 0, dg.e_triples.shape[0] - 1)]

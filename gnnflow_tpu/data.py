@@ -267,8 +267,17 @@ def make_synthetic_dataset(
     # Edge features correlated with the dst identity so they carry signal.
     if dim_edge > 0:
         dst_emb = rng.randn(num_dst, dim_edge).astype(np.float32)
-        noise = 0.1 * rng.randn(num_edges, dim_edge).astype(np.float32)
-        edge_feats = dst_emb[(dst - num_src) if bipartite else dst] + noise
+        di = (dst - num_src) if bipartite else dst
+        # generated in row chunks: randn consumes the stream in C order,
+        # so this is value-identical to one call but never materializes
+        # the f64 intermediate (GDELT-scale tables are tens of GB)
+        edge_feats = np.empty((num_edges, dim_edge), np.float32)
+        step = max(1, (1 << 24) // dim_edge)
+        for lo in range(0, num_edges, step):
+            hi = min(lo + step, num_edges)
+            edge_feats[lo:hi] = dst_emb[di[lo:hi]]
+            edge_feats[lo:hi] += (
+                0.1 * rng.randn(hi - lo, dim_edge)).astype(np.float32)
     else:
         edge_feats = None
     return (full[:train_end], full[train_end:val_end], full[val_end:], full,

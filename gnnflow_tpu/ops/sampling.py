@@ -211,31 +211,34 @@ def _gather_windows(arr: jax.Array, start: jax.Array,
                      axis=-1).astype(arr.dtype)
 
 
-def _lower_bound(e_ts: jax.Array, off: jax.Array, ln: jax.Array,
-                 target: jax.Array, iters: int) -> jax.Array:
-    """First index ``i`` in ``[0, ln)`` with ``e_ts[off+i] >= target``,
-    vectorized over a batch of (off, ln, target) triples.
+def _lower_bound_multi(e_ts: jax.Array, off: jax.Array, ln: jax.Array,
+                       targets: jax.Array, iters: int) -> jax.Array:
+    """First index ``i`` in ``[0, ln)`` with ``e_ts[off+i] >= target``
+    for ``K`` targets per (off, ln) query: ``targets`` is
+    ``[K, *off.shape]`` and the result matches that shape.
 
-    Two-level search (the dominant sampler cost is HBM row fetches, so
-    the goal is *one* full-width row gather per search instead of
+    Hierarchical search (the dominant sampler cost is HBM row fetches,
+    so the goal is one full-width row gather per search instead of
     ``iters``):
 
-    1. **Coarse**: binary-search the per-128-row *first timestamps*
-       (``e_ts[::128]`` — ≤1/128th of the pool, cache-resident) for the
-       last row whose first element precedes ``target``.  Only rows whose
-       first element lies strictly inside ``[off, off+ln)`` participate,
-       so pool slack/other vertices never pollute the search.
-    2. **Fine**: gather that single 128-lane row and count in-run
-       elements ``< target`` with a masked vector compare.
-
-    ``off``/``ln``/``target`` may carry extra leading dims to run several
-    searches per root in one fused pass."""
+    1. **Coarse**: count, over the per-128-row *first timestamps*
+       (``e_ts[::128]`` — ≤1/128th of the pool, cache-resident), the rows
+       of the run that precede ``target`` — a masked vector compare over
+       one 2-row aligned window.  Only rows whose first element lies
+       strictly inside ``[off, off+ln)`` participate, so pool slack /
+       other vertices never pollute the search.  The window FETCH depends
+       only on (off, ln), so all ``K`` targets of a query (snapshot
+       boundaries share one root) reuse a single fetch — the point of the
+       multi-target form.
+    2. **Fine**: gather that single 128-lane row per target and count
+       in-run elements ``< target``."""
     coarse = _coarsen(e_ts.reshape(-1, _LANES)[:, 0])
 
-    shape = off.shape
+    K = targets.shape[0]
+    shape = targets.shape
     foff = off.reshape(-1)
     fln = ln.reshape(-1)
-    ftarget = target.reshape(-1)
+    ft = targets.reshape(K, -1)             # [K, M]
     row_lo = foff >> 7                      # row holding the run start
     row_hi = jnp.where(fln > 0, (foff + fln - 1) >> 7, row_lo)
     # goal: rp = last row r in [row_lo, row_hi] with coarse[r] < target
@@ -245,29 +248,53 @@ def _lower_bound(e_ts: jax.Array, off: jax.Array, ln: jax.Array,
         # 3-level: one more coarsening (e_ts[::16384]) bounds any degree
         # up to 2^21 per 256-lane window; unrolled pre-narrowing beyond.
         coarse2 = _coarsen(coarse.reshape(-1, _LANES)[:, 0])
-        r2_lo = row_lo >> 7
-        r2_hi = row_hi >> 7
-        lo2, hi2 = r2_lo + 1, r2_hi + 1
-        for _ in range(max(iters - 21, 0)):  # degree > 2M edges/vertex
-            active = lo2 < hi2
-            mid = (lo2 + hi2) // 2
-            go_right = _gather_scalars(coarse2, mid) < ftarget
-            lo2 = jnp.where(active & go_right, mid + 1, lo2)
-            hi2 = jnp.where(active & ~go_right, mid, hi2)
-        rp2 = (lo2 - 1) + _window_count(coarse2, lo2, hi2, ftarget)
-        lo1 = jnp.maximum(row_lo, rp2 * _LANES)
-        hi1 = jnp.minimum(row_hi, rp2 * _LANES + _LANES - 1)
+        lo2 = jnp.broadcast_to(((row_lo >> 7) + 1)[None], (K,) + row_lo.shape)
+        hi2 = jnp.broadcast_to(((row_hi >> 7) + 1)[None], lo2.shape)
+        if iters > 21:                       # degree > 2M edges/vertex
+            lo2, hi2 = lo2.reshape(-1), hi2.reshape(-1)
+            ftf = ft.reshape(-1)
+            for _ in range(iters - 21):
+                active = lo2 < hi2
+                mid = (lo2 + hi2) // 2
+                go_right = _gather_scalars(coarse2, mid) < ftf
+                lo2 = jnp.where(active & go_right, mid + 1, lo2)
+                hi2 = jnp.where(active & ~go_right, mid, hi2)
+            lo2 = lo2.reshape(K, -1)
+            hi2 = hi2.reshape(K, -1)
+            rp2 = (lo2 - 1) + _window_count(
+                coarse2, lo2.reshape(-1), hi2.reshape(-1),
+                ft.reshape(-1)).reshape(K, -1)
+        else:
+            # shared window fetch across the K targets of each query
+            rp2 = (lo2 - 1) + _window_count_multi(
+                coarse2, lo2[0], hi2[0], ft)
+        lo1 = jnp.maximum(row_lo[None], rp2 * _LANES)
+        hi1 = jnp.minimum(row_hi[None], rp2 * _LANES + _LANES - 1)
+        # level-1 windows depend on rp2, hence per-target: unshared count
+        rp = lo1 + _window_count(
+            coarse, (lo1 + 1).reshape(-1), (hi1 + 1).reshape(-1),
+            ft.reshape(-1)).reshape(K, -1)
     else:                                   # degree <= 16384: 2-level
-        lo1, hi1 = row_lo, row_hi
-    rp = lo1 + _window_count(coarse, lo1 + 1, hi1 + 1, ftarget)
+        rp = row_lo[None] + _window_count_multi(
+            coarse, row_lo + 1, row_hi + 1, ft)
 
-    rows = _rows(e_ts)[rp]                  # [M, 128] one gather/search
-    pos = rp[:, None] * _LANES + jnp.arange(_LANES, dtype=jnp.int32)
-    in_run = (pos >= foff[:, None]) & (pos < (foff + fln)[:, None])
-    cnt = jnp.sum(in_run & (rows < ftarget[:, None]), axis=-1,
+    frp = rp.reshape(-1)                    # [K*M]
+    rows = _rows(e_ts)[frp]                 # one gather per search
+    pos = frp[:, None] * _LANES + jnp.arange(_LANES, dtype=jnp.int32)
+    toff = jnp.tile(foff, K)
+    tln = jnp.tile(fln, K)
+    in_run = (pos >= toff[:, None]) & (pos < (toff + tln)[:, None])
+    cnt = jnp.sum(in_run & (rows < ft.reshape(-1)[:, None]), axis=-1,
                   dtype=jnp.int32)
-    i = jnp.maximum(rp * _LANES - foff, 0) + cnt
-    return jnp.minimum(i, fln).reshape(shape)
+    i = jnp.maximum(frp * _LANES - toff, 0) + cnt
+    return jnp.minimum(i, tln).reshape(shape)
+
+
+def _lower_bound(e_ts: jax.Array, off: jax.Array, ln: jax.Array,
+                 target: jax.Array, iters: int) -> jax.Array:
+    """Single-target form of :func:`_lower_bound_multi` (``off``/``ln``/
+    ``target`` share one shape)."""
+    return _lower_bound_multi(e_ts, off, ln, target[None], iters)[0]
 
 
 def _coarsen(c: jax.Array) -> jax.Array:
@@ -292,6 +319,23 @@ def _window_count(arr: jax.Array, lo: jax.Array, hi: jax.Array,
     return jnp.sum(ok & (w < target[:, None]), axis=-1, dtype=jnp.int32)
 
 
+def _window_count_multi(arr: jax.Array, lo: jax.Array, hi: jax.Array,
+                        targets: jax.Array) -> jax.Array:
+    """:func:`_window_count` for ``K`` targets per (lo, hi) window:
+    ``targets`` is [K, M], result [K, M].  The 2-row window gather and
+    in-window mask are computed ONCE per query and reused across the K
+    targets — snapshot boundaries of one root share both."""
+    base = jnp.clip((lo - 1) >> 7, 0, arr.shape[0] // _LANES - 2)
+    w = _rows(arr)[base[:, None]
+                   + jnp.arange(2, dtype=jnp.int32)[None, :]]
+    w = w.reshape(-1, 2 * _LANES)           # [M, 256]
+    pos = base[:, None] * _LANES + jnp.arange(2 * _LANES,
+                                              dtype=jnp.int32)[None, :]
+    ok = (pos >= lo[:, None]) & (pos < hi[:, None])
+    return jnp.sum(ok[None] & (w[None] < targets[:, :, None]), axis=-1,
+                   dtype=jnp.int32)
+
+
 def snapshot_window(root_ts: jax.Array, snapshot_idx: int,
                     num_snapshots: int, window: float):
     """(start_ts, end_ts) per root — ``sampling_kernels.cu:29-40``."""
@@ -300,8 +344,10 @@ def snapshot_window(root_ts: jax.Array, snapshot_idx: int,
         start = (jnp.zeros_like(root_ts) if abs(window) < 1e-6
                  else root_ts - window)
     else:
+        # multiplicative form (not ``end - window``): bitwise-identical
+        # to the chained-boundary search in ``sample_layer_snapshots``
         end = root_ts - (num_snapshots - snapshot_idx - 1) * window
-        start = end - window
+        start = root_ts - (num_snapshots - snapshot_idx) * window
     return start, end
 
 
@@ -339,11 +385,10 @@ def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
         s_idx = jnp.zeros_like(ln)
         e_idx = _lower_bound(g.e_ts, off, ln, end_ts, search_iters)
     else:
-        # fuse both searches into one loop: a single [2, B] gather per
-        # iteration instead of two sequential [B] gathers
-        both = _lower_bound(
-            g.e_ts,
-            jnp.stack([off, off]), jnp.stack([ln, ln]),
+        # both boundaries in one multi-target search: the coarse window
+        # fetch is shared (one per root, not one per boundary)
+        both = _lower_bound_multi(
+            g.e_ts, off, ln,
             jnp.stack([start_ts, end_ts]), search_iters)
         s_idx, e_idx = both[0], both[1]
     num_candidates = e_idx - s_idx  # [B]
@@ -399,25 +444,31 @@ def sample_layer(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("fanout", "strategy", "num_snapshots", "window",
-                     "prop_time", "search_iters"))
+                     "prop_time", "search_iters", "shared_roots"))
 def sample_layer_snapshots(
         g: DeviceGraph, roots: jax.Array, root_ts: jax.Array, *,
         fanout: int, strategy: str = "recent", num_snapshots: int = 1,
         window: float = 0.0, prop_time: bool = False,
-        search_iters: int = 32,
+        search_iters: int = 32, shared_roots: bool = False,
         key: jax.Array | None = None) -> List[MFG]:
     """All snapshots of one layer in ONE fused pass.
 
     ``roots``/``root_ts`` are [S, B] (per-snapshot root sets).  The S
     windowed binary searches run as a single stacked loop and the picks as
     one gather — S× fewer kernels than per-snapshot calls (the DySAT
-    path).  Semantics identical to ``sample_layer`` per snapshot."""
+    path).  Semantics identical to ``sample_layer`` per snapshot.
+
+    ``shared_roots=True`` asserts every snapshot has the SAME (root, ts)
+    rows (true for the first layer, where the batch roots fan out to all
+    snapshots).  Then the (off, len) lookup runs once per root instead of
+    S times, and because adjacent snapshot windows share a boundary
+    (snapshot ``s`` ends where ``s+1`` starts), the 2S boundary searches
+    collapse to S+1 chained ones."""
     S, B = roots.shape
     roots = roots.astype(NID_DTYPE)
     root_ts = root_ts.astype(TS_DTYPE)
     valid_root = roots >= 0
     nid = jnp.where(valid_root, roots, 0)
-    off, ln = _root_off_len(g, nid, valid_root)
 
     snap = jnp.arange(S, dtype=TS_DTYPE)[:, None]         # [S, 1]
     if num_snapshots == 1:
@@ -426,12 +477,25 @@ def sample_layer_snapshots(
                     else root_ts - window)
     else:
         end_ts = root_ts - (num_snapshots - snap - 1) * window
-        start_ts = end_ts - window
+        start_ts = root_ts - (num_snapshots - snap) * window
 
-    both = _lower_bound(
-        g.e_ts, jnp.stack([off, off]), jnp.stack([ln, ln]),
-        jnp.stack([start_ts, end_ts]), search_iters)      # [2, S, B]
-    s_idx, e_idx = both[0], both[1]
+    if shared_roots and num_snapshots > 1:
+        off1, ln1 = _root_off_len(g, nid[0], valid_root[0])   # [B]
+        # chained boundaries b_j = ts - (S-j)*W, j = 0..S: snapshot s is
+        # [b_s, b_{s+1}) — S+1 searches instead of 2S, coarse fetch shared
+        j = jnp.arange(S + 1, dtype=TS_DTYPE)[:, None]
+        bounds = _lower_bound_multi(
+            g.e_ts, off1, ln1,
+            root_ts[0][None] - (num_snapshots - j) * window,
+            search_iters)                                     # [S+1, B]
+        s_idx, e_idx = bounds[:S], bounds[1:]
+        off = jnp.broadcast_to(off1[None], (S, B))
+    else:
+        off, ln = _root_off_len(g, nid, valid_root)
+        both = _lower_bound_multi(
+            g.e_ts, off, ln,
+            jnp.stack([start_ts, end_ts]), search_iters)      # [2, S, B]
+        s_idx, e_idx = both[0], both[1]
     num_candidates = e_idx - s_idx
 
     if strategy == "recent":
@@ -514,7 +578,7 @@ def sample_hops(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
                 g, R, T, fanout=fanouts[layer], strategy=strategy,
                 num_snapshots=num_snapshots, window=window,
                 prop_time=prop_time, search_iters=search_iters,
-                key=lkey)
+                shared_roots=(layer == 0), key=lkey)
         else:
             layer_mfgs = [sample_layer(
                 g, roots if layer == 0 else per_snap_roots[0][0],

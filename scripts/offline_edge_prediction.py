@@ -62,6 +62,13 @@ parser.add_argument("--edge-cache-ratio", type=float, default=0)
 parser.add_argument("--node-cache-ratio", type=float, default=0)
 parser.add_argument("--snapshot-time-window", type=float, default=0)
 parser.add_argument("--synthetic-edges", type=int, default=100_000)
+parser.add_argument("--synthetic-dim-edge", type=int, default=100)
+parser.add_argument("--features-on-host", action="store_true",
+                    help="keep the feature tables host-resident and feed "
+                         "the model through the cache only (GDELT/MAG "
+                         "scale: tables larger than HBM; requires "
+                         "--cache).  The reference's cpu/pinned feature "
+                         "placement (gnnflow/utils.py:103-151)")
 parser.add_argument("--memory-storage", default="float32",
                     choices=["float32", "bfloat16"],
                     help="bfloat16 halves the memory table's HBM "
@@ -95,7 +102,8 @@ def load_data():
     dim_node = 100 if args.model in ("GRAPHSAGE", "GAT") else 0
     train, val, test, full, nf, ef = make_synthetic_dataset(
         num_src=2000, num_dst=500, num_edges=args.synthetic_edges,
-        dim_edge=100, dim_node=dim_node, seed=args.seed)
+        dim_edge=args.synthetic_dim_edge, dim_node=dim_node,
+        seed=args.seed)
     return train, val, test, full, nf, ef, "synthetic"
 
 
@@ -142,8 +150,14 @@ def main():
                       memory_storage=args.memory_storage,
                       **sampler_kwargs)
 
-    nfj = pad_feature_table(node_feats)
-    efj = pad_feature_table(edge_feats)
+    if args.features_on_host:
+        if not args.cache:
+            parser.error("--features-on-host requires --cache (features "
+                         "reach the model only through the cache buffer)")
+        nfj = efj = None  # tables never leave the host
+    else:
+        nfj = pad_feature_table(node_feats)
+        efj = pad_feature_table(edge_feats)
     dg = dgraph.device_graph()
 
     logging.info("initializing model/optimizer state (first compile)...")
