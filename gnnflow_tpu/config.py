@@ -176,5 +176,9 @@ _gdelt_default_config = _data_cfg(
     256 * MiB, 1 * GiB, "host", 123, False, True, True)
 _mag_default_config = _data_cfg(
     512 * MiB, 4 * GiB, "host", 11, False, True, False)
+# undirected like WIKI (config.py:116): the synthetic stream is a
+# bipartite interaction log, and without reverse edges dst-side roots
+# have no history — memory-less models (TGAT/DySAT) then produce one
+# constant embedding for every dst and AP pins at exactly 0.5.
 _synthetic_default_config = _data_cfg(
-    1 * MiB, 16 * MiB, "hbm", 16, False, True, True)
+    1 * MiB, 16 * MiB, "hbm", 16, True, True, True)

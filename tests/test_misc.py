@@ -116,3 +116,14 @@ def test_memory_reset():
     st = st.replace(data=st.data.at[1].set(2.0))
     st = memory_lib.reset_memory(st)
     np.testing.assert_allclose(np.asarray(st.data), 0.0)
+
+
+def test_synthetic_config_is_undirected():
+    """The synthetic stream is a WIKI-style bipartite interaction log;
+    stored directed, dst-side roots have no history, so memory-less
+    models (TGAT/DySAT) emit one constant embedding for every dst and
+    val AP pins at exactly 0.5 (reference stores WIKI undirected,
+    gnnflow/config.py:116)."""
+    from gnnflow_tpu.config import get_default_config
+    _, dcfg = get_default_config("dysat", "synthetic")
+    assert dcfg["undirected"] is True
