@@ -54,6 +54,9 @@ def main():
         ("uniform-3snap-w1000", dict(fanouts=(10, 10),
                                      strategy="uniform",
                                      num_snapshots=3, window=1000.0)),
+        ("uniform-3snap-w1000-compact",
+         dict(fanouts=(10, 10), strategy="uniform", num_snapshots=3,
+              window=1000.0, compact_factor=0.25)),
     ]
     rng = np.random.RandomState(0)
     b3 = args.batch_size * 3

@@ -30,6 +30,7 @@ Everything here runs under ``jax.jit`` (inside the train step itself).
 from __future__ import annotations
 
 import functools
+import math
 from typing import List, Sequence
 
 import jax
@@ -550,10 +551,112 @@ def sample_layer_snapshots(
                 nbr_mask=mask[s]) for s in range(S)]
 
 
+def _nth_valid_block(csum: jax.Array, cap: int) -> jax.Array:
+    """``csum`` is [S, B] inclusive per-snapshot counts of valid blocks.
+    Returns [S, cap]: the index of the ``q``-th valid block per snapshot
+    (``B`` when ``q >= total``).  One hierarchical lower-bound per (s, q)
+    — the S coarse window fetches are shared across all ``cap`` targets."""
+    S, B = csum.shape
+    Bp = -(-B // _LANES) * _LANES
+    flat = jnp.pad(csum, ((0, 0), (0, Bp - B)),
+                   constant_values=jnp.int32(1 << 30)).reshape(-1)
+    off = jnp.arange(S, dtype=jnp.int32) * Bp                # [S]
+    ln = jnp.full((S,), B, jnp.int32)
+    targets = jnp.broadcast_to(
+        jnp.arange(1, cap + 1, dtype=jnp.int32)[:, None], (cap, S))
+    iters = max(1, (B - 1).bit_length())
+    return _lower_bound_multi(flat, off, ln, targets, iters).T  # [S, cap]
+
+
+def _sample_layer_compacted(
+        g: DeviceGraph, prev_mfgs: List[MFG], cap: int, *,
+        fanout: int, strategy: str, num_snapshots: int, window: float,
+        prop_time: bool, search_iters: int,
+        key: jax.Array | None) -> List[MFG]:
+    """Sample the next layer over a COMPACTED root set.
+
+    The padded-MFG analogue of the reference's ``thrust::remove_if``
+    compaction (``temporal_sampler.cu:191-199``): in windowed
+    multi-snapshot configs most neighbor slots of the previous layer are
+    invalid (empty windows), yet the padded design pays full search+pick
+    cost for every slot.  Here the valid F-wide neighbor blocks of each
+    snapshot are packed into a fixed ``cap``-block prefix, the layer is
+    sampled over ``[B + cap*F]`` roots instead of ``[B*(1+F)]``, and the
+    outputs are expanded back to full shape by a row gather — results are
+    identical to the uncompacted path (for ``uniform``, up to the RNG
+    assignment of picks within a window; validity masks are identical).
+
+    If more than ``cap`` blocks are valid, falls back to the uncompacted
+    path via ``lax.cond`` (both branches compiled, one executed) — never
+    drops neighbors.
+    """
+    S = len(prev_mfgs)
+    B1 = prev_mfgs[0].num_dst
+    F = prev_mfgs[0].fanout
+    R_full = jnp.stack([m.all_nodes() for m in prev_mfgs])    # [S, B2]
+    T_full = jnp.stack([m.all_ts() for m in prev_mfgs])
+    roots_S = jnp.stack([m.root_nids for m in prev_mfgs])     # [S, B1]
+    rts_S = jnp.stack([m.root_ts for m in prev_mfgs])
+
+    kwargs = dict(fanout=fanout, strategy=strategy,
+                  num_snapshots=num_snapshots, window=window,
+                  prop_time=prop_time, search_iters=search_iters)
+
+    def full_path():
+        return sample_layer_snapshots(g, R_full, T_full, key=key,
+                                      **kwargs)
+
+    bv = jnp.stack([m.nbr_mask.any(axis=1) for m in prev_mfgs])
+    csum = jnp.cumsum(bv.astype(jnp.int32), axis=1)           # [S, B1]
+    total = csum[:, -1]
+
+    def compact_path():
+        blk = _nth_valid_block(csum, cap)                     # [S, cap]
+        nbr_n = jnp.stack([m.nbr_nids for m in prev_mfgs])    # [S, B1, F]
+        nbr_t = jnp.stack([m.nbr_ts for m in prev_mfgs])
+        gn = jnp.concatenate(
+            [nbr_n, jnp.full((S, 1, F), INVALID_NID, nbr_n.dtype)], 1)
+        gt = jnp.concatenate([nbr_t, jnp.zeros((S, 1, F), nbr_t.dtype)], 1)
+        cn = jnp.take_along_axis(gn, blk[:, :, None], axis=1)  # [S,cap,F]
+        ct = jnp.take_along_axis(gt, blk[:, :, None], axis=1)
+        Rc = jnp.concatenate([roots_S, cn.reshape(S, cap * F)], axis=1)
+        Tc = jnp.concatenate([rts_S, ct.reshape(S, cap * F)], axis=1)
+        mc = sample_layer_snapshots(g, Rc, Tc, key=key, **kwargs)
+
+        # expand each [B1 + cap*F, F2] field back to [B1*(1+F), F2]:
+        # block i of the full layout maps to compact slot csum[i]-1 when
+        # valid, else to the all-invalid pad slot ``cap``
+        rank = jnp.where(bv, csum - 1, cap)                   # [S, B1]
+        out = []
+        for s in range(S):
+            m = mc[s]
+
+            def expand(fc, fill):
+                F2 = fc.shape[1]
+                head = fc[:B1]
+                tail = jnp.concatenate(
+                    [fc[B1:].reshape(cap, F * F2),
+                     jnp.full((1, F * F2), fill, fc.dtype)], axis=0)
+                body = tail[rank[s]].reshape(B1 * F, F2)
+                return jnp.concatenate([head, body], axis=0)
+
+            out.append(MFG(
+                root_nids=R_full[s], root_ts=T_full[s],
+                nbr_nids=expand(m.nbr_nids, INVALID_NID),
+                nbr_ts=expand(m.nbr_ts, 0.0),
+                nbr_dts=expand(m.nbr_dts, 0.0),
+                nbr_eids=expand(m.nbr_eids, 0),
+                nbr_mask=expand(m.nbr_mask, False)))
+        return out
+
+    return lax.cond(jnp.any(total > cap), full_path, compact_path)
+
+
 def sample_hops(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
                 *, fanouts: Sequence[int], strategy: str = "recent",
                 num_snapshots: int = 1, window: float = 0.0,
                 prop_time: bool = False, search_iters: int = 32,
+                compact_factor: float | None = None,
                 key: jax.Array | None = None) -> List[List[MFG]]:
     """Multi-layer, multi-snapshot k-hop sampling.
 
@@ -563,22 +666,38 @@ def sample_hops(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
     ``mfgs.reverse()`` in ``temporal_sampler.py:163-165``: model layer ``l``
     consumes ``mfgs[l]`` and the dst rows of ``mfgs[l]`` are the src rows of
     ``mfgs[l+1]``.
+
+    ``compact_factor``: when set (0 < f <= 1) and the config is windowed
+    multi-snapshot, deeper layers sample over a compacted root set of at
+    most ``ceil(f * num_prev_roots)`` valid neighbor blocks (see
+    :func:`_sample_layer_compacted`); overflow falls back to the full
+    path, so results never change.
     """
     num_layers = len(fanouts)
     mfgs: List[List[MFG]] = []
     per_snap_roots = [(roots, root_ts)] * num_snapshots
+    layer_mfgs: List[MFG] = []
     for layer in range(num_layers):
         lkey = (jax.random.fold_in(key, layer) if key is not None
                 else None)
         if num_snapshots > 1:
-            # all snapshots of this layer in one fused pass
-            R = jnp.stack([r for r, _ in per_snap_roots])
-            T = jnp.stack([t for _, t in per_snap_roots])
-            layer_mfgs = sample_layer_snapshots(
-                g, R, T, fanout=fanouts[layer], strategy=strategy,
-                num_snapshots=num_snapshots, window=window,
-                prop_time=prop_time, search_iters=search_iters,
-                shared_roots=(layer == 0), key=lkey)
+            if layer > 0 and compact_factor is not None:
+                cap = min(prev_num_dst, max(
+                    1, math.ceil(compact_factor * prev_num_dst)))
+                layer_mfgs = _sample_layer_compacted(
+                    g, layer_mfgs, cap, fanout=fanouts[layer],
+                    strategy=strategy, num_snapshots=num_snapshots,
+                    window=window, prop_time=prop_time,
+                    search_iters=search_iters, key=lkey)
+            else:
+                # all snapshots of this layer in one fused pass
+                R = jnp.stack([r for r, _ in per_snap_roots])
+                T = jnp.stack([t for _, t in per_snap_roots])
+                layer_mfgs = sample_layer_snapshots(
+                    g, R, T, fanout=fanouts[layer], strategy=strategy,
+                    num_snapshots=num_snapshots, window=window,
+                    prop_time=prop_time, search_iters=search_iters,
+                    shared_roots=(layer == 0), key=lkey)
         else:
             layer_mfgs = [sample_layer(
                 g, roots if layer == 0 else per_snap_roots[0][0],
@@ -587,6 +706,7 @@ def sample_hops(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
                 snapshot_idx=0, num_snapshots=1, window=window,
                 prop_time=prop_time, search_iters=search_iters,
                 key=lkey)]
+        prev_num_dst = layer_mfgs[0].num_dst
         per_snap_roots = [(m.all_nodes(), m.all_ts())
                           for m in layer_mfgs]
         mfgs.append(layer_mfgs)

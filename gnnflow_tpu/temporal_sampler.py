@@ -25,7 +25,8 @@ class TemporalSampler:
     def __init__(self, graph: DynamicGraph, fanouts: List[int],
                  sample_strategy: str = "recent", num_snapshots: int = 1,
                  snapshot_time_window: float = 0.0, prop_time: bool = False,
-                 seed: int = 1234, is_static: bool = False, **kwargs):
+                 seed: int = 1234, is_static: bool = False,
+                 compact_factor: float | None = "auto", **kwargs):
         sample_strategy = sample_strategy.lower()
         if sample_strategy not in ("recent", "uniform"):
             raise ValueError("strategy must be 'recent' or 'uniform'")
@@ -39,6 +40,13 @@ class TemporalSampler:
         self._window = float(snapshot_time_window)
         self._prop_time = bool(prop_time)
         self._is_static = bool(is_static)
+        if compact_factor == "auto":
+            # windowed multi-snapshot configs (DySAT) leave most neighbor
+            # slots empty — compact deeper layers; the reference compacts
+            # every layer with thrust::remove_if
+            compact_factor = (0.25 if num_snapshots > 1
+                              and snapshot_time_window > 0 else None)
+        self._compact_factor = compact_factor
         self._key = jax.random.PRNGKey(seed)
 
     @property
@@ -77,7 +85,8 @@ class TemporalSampler:
                     strategy=self._strategy,
                     num_snapshots=self._num_snapshots,
                     window=self._window, prop_time=self._prop_time,
-                    search_iters=iters, key=key)
+                    search_iters=iters,
+                    compact_factor=self._compact_factor, key=key)
             cache[k] = jax.jit(fn)
         return cache[k]
 

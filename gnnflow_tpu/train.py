@@ -128,13 +128,20 @@ class Trainer:
     def __init__(self, model: DGNN, *, fanouts, sample_strategy="recent",
                  num_snapshots=1, snapshot_time_window=0.0, prop_time=False,
                  is_static=False, lr=1e-4, optimizer=None,
-                 neg_sample_ratio=1, memory_storage="float32"):
+                 neg_sample_ratio=1, memory_storage="float32",
+                 compact_factor="auto"):
         self.model = model
         self.fanouts = tuple(int(f) for f in fanouts)
         self.strategy = sample_strategy
         self.num_snapshots = int(num_snapshots)
         self.window = float(snapshot_time_window)
         self.prop_time = bool(prop_time)
+        if compact_factor == "auto":
+            # windowed multi-snapshot configs leave most neighbor slots
+            # empty — compact deeper sampling layers (see sampling.py)
+            compact_factor = (0.25 if self.num_snapshots > 1
+                              and self.window > 0 else None)
+        self.compact_factor = compact_factor
         self.is_static = bool(is_static)
         self.tx = optimizer if optimizer is not None else optax.adam(lr)
         self.neg_ratio = int(neg_sample_ratio)
@@ -229,7 +236,7 @@ class Trainer:
             dg, roots, ts, fanouts=self.fanouts, strategy=self.strategy,
             num_snapshots=self.num_snapshots, window=self.window,
             prop_time=self.prop_time, search_iters=self._iters(dg),
-            key=key)
+            compact_factor=self.compact_factor, key=key)
 
     # ------------------------------------------------------------------
 
