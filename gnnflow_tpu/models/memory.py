@@ -204,15 +204,35 @@ def restore_memory(backup: Dict) -> MemoryState:
                        mailbox_slots=slots, storage=storage)
 
 
-def prepare_input(state: MemoryState, mfg: MFG) -> Dict[str, jax.Array]:
-    """Pull memory rows for the MFG's node set (``memory.py:156-190``).
+class DedupMemoryInput(struct.PyTreeNode):
+    """Compact memory-updater input produced by the train step's exact
+    ``(nid, ts)`` instance dedup (:mod:`gnnflow_tpu.ops.dedup`).
 
-    The reference uniquifies before pulling purely to reduce RPC traffic;
-    a direct gather yields identical values (pull happens before any
-    write), and the packed layout makes it ONE row gather."""
-    nids = mfg.all_nodes()
+    Carries the raw :class:`MemoryState` (the pull happens inside the
+    updater over the compact row set), the winner instance ids/timestamps,
+    and the inverse map expanding compact results back to per-instance
+    rows.  ``node_feats`` is the lane-padded node-feature *table* (not
+    per-instance rows) so the updater can gather it compactly."""
+
+    state: MemoryState
+    uniq_nids: jax.Array          # [cap] int32 winner node ids
+    uniq_ts: jax.Array            # [cap] float32 winner timestamps
+    inv: jax.Array                # [L] int32 instance -> compact slot
+    sidx: Optional[jax.Array] = None         # [L] sorted pos -> instance
+    rank_sorted: Optional[jax.Array] = None  # [L] non-decreasing slots
+    node_feats: Optional[jax.Array] = None   # [N, >=dim_node] padded table
+    dim_node: int = struct.field(pytree_node=False, default=0)
+
+
+def prepare_input_at(state: MemoryState,
+                     nids: jax.Array) -> Dict[str, jax.Array]:
+    """Pull memory rows for an explicit node-id array (the compact/dedup
+    pull; same unpacking as :func:`prepare_input`)."""
     safe = jnp.clip(nids, 0, state.num_nodes - 1)
-    rows = state.data[safe]
+    return _unpack_rows(state, state.data[safe])
+
+
+def _unpack_rows(state: MemoryState, rows: jax.Array) -> Dict[str, jax.Array]:
     dm, s = state._dm, state.mailbox_slots
     dr = state._dr
     n = rows.shape[0]
@@ -240,6 +260,15 @@ def prepare_input(state: MemoryState, mfg: MFG) -> Dict[str, jax.Array]:
     }
 
 
+def prepare_input(state: MemoryState, mfg: MFG) -> Dict[str, jax.Array]:
+    """Pull memory rows for the MFG's node set (``memory.py:156-190``).
+
+    The reference uniquifies before pulling purely to reduce RPC traffic;
+    a direct gather yields identical values (pull happens before any
+    write), and the packed layout makes it ONE row gather."""
+    return prepare_input_at(state, mfg.all_nodes())
+
+
 class GRUMemoryUpdater(nn.Module):
     """GRU-cell memory updater (``memory_updater.py:13-91``).
 
@@ -258,9 +287,15 @@ class GRUMemoryUpdater(nn.Module):
     impl: str = "xla"   # "xla" | "pallas" (fused TimeEncode+GRU kernel)
 
     @nn.compact
-    def __call__(self, mfg: MFG, mem_input: Dict[str, jax.Array],
-                 node_feats: Optional[jax.Array] = None
+    def __call__(self, mfg: MFG, mem_input, node_feats=None
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        dedup = isinstance(mem_input, DedupMemoryInput)
+        if dedup:
+            di = mem_input
+            mem_input = prepare_input_at(di.state, di.uniq_nids)
+            row_ts = di.uniq_ts
+        else:
+            row_ts = mfg.all_ts()
         mail = mem_input["mail"]
         if mail.ndim == 3:
             # multi-slot mailbox: the GRU consumes the latest mail
@@ -269,7 +304,6 @@ class GRUMemoryUpdater(nn.Module):
             sel = slot[:, None] == jnp.arange(S)[None, :]
             mail = jnp.sum(jnp.where(sel[..., None], mail, 0), axis=1)
         mem = mem_input["mem"]  # casts fuse into the GRU matmul reads
-        all_ts = mfg.all_ts()
 
         from gnnflow_tpu.models.modules import FusedGRUCell, TimeEncode
         cell = FusedGRUCell(features=self.dim_memory, dtype=self.dtype,
@@ -281,29 +315,57 @@ class GRUMemoryUpdater(nn.Module):
             # fused kernel's params-only gradient contract
             te = TimeEncode(self.dim_time)
             tw, tb = te.weights()
-            dts = all_ts - mem_input["mem_ts"]
+            dts = row_ts - mem_input["mem_ts"]
             updated = cell(mem, [mail], time=(dts, tw, tb))
         else:
             updated = cell(mem, [mail])
         updated = updated.astype(jnp.float32)
 
-        num_dst = mfg.num_dst
+        if self.dim_node > 0:
+            proj = None if self.dim_node == self.dim_memory else \
+                Linear(self.dim_memory, name="node_feat_proj")
+        if dedup:
+            # fuse (compact) node features BEFORE the expansion so the
+            # [L]-row gather happens once; ``updated`` at the dst rows is
+            # recovered by a cheap [num_dst] gather for write-back
+            from gnnflow_tpu.ops.dedup import expand_rows
+            from gnnflow_tpu.ops.segment_pallas import expand_compact
+            h_u = updated
+            if self.dim_node > 0 and di.node_feats is not None:
+                safe = jnp.clip(di.uniq_nids, 0,
+                                di.node_feats.shape[0] - 1)
+                nf = di.node_feats[safe][:, : self.dim_node]
+                h_u = updated + (nf if proj is None else proj(nf))
+            if di.sidx is not None:
+                # lane-pad, expand with the sorted-segment-sum VJP
+                # (XLA's scatter-add transpose is ~50x slower), slice back
+                d = h_u.shape[-1]
+                pad = (-d) % 128
+                hp = jnp.pad(h_u, ((0, 0), (0, pad))) if pad else h_u
+                h = expand_compact(hp, di.inv, di.sidx, di.rank_sorted)
+                h = h[:, :d] if pad else h
+            else:
+                h = expand_rows(h_u, di.inv)
+            num_dst = mfg.num_dst
+            dst_updated = expand_rows(updated, di.inv[:num_dst]) \
+                if self.dim_node > 0 and di.node_feats is not None \
+                else h[:num_dst]
+        else:
+            if self.dim_node > 0 and node_feats is not None:
+                h = updated + (node_feats if proj is None
+                               else proj(node_feats))
+            else:
+                h = updated
+            num_dst = mfg.num_dst
+            dst_updated = updated[:num_dst]
+
+        all_ts = mfg.all_ts()
         last_updated = {
             "last_updated_nid": jax.lax.stop_gradient(
                 mfg.all_nodes()[:num_dst]),
-            "last_updated_memory": jax.lax.stop_gradient(
-                updated[:num_dst]),
+            "last_updated_memory": jax.lax.stop_gradient(dst_updated),
             "last_updated_ts": jax.lax.stop_gradient(all_ts[:num_dst]),
         }
-
-        if self.dim_node > 0 and node_feats is not None:
-            if self.dim_node == self.dim_memory:
-                h = node_feats + updated
-            else:
-                h = updated + Linear(self.dim_memory,
-                                     name="node_feat_proj")(node_feats)
-        else:
-            h = updated
         return h, last_updated
 
 

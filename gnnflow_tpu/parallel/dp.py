@@ -31,6 +31,9 @@ def shard_trainer(trainer: Trainer, mesh: Mesh,
     in_shardings = (repl, repl, repl, repl,
                     batch_sharding, batch_sharding, batch_sharding,
                     batch_sharding)
+    # the (nid, ts) GRU dedup sorts the full instance axis — under GSPMD
+    # that would all-gather the batch-sharded MFGs; keep DP per-instance
+    trainer.dedup_factor = None
     trainer._train_step = jax.jit(
         trainer._step, static_argnums=(8,),
         donate_argnums=(0,),

@@ -49,6 +49,10 @@ class PartitionedTrainer(Trainer):
         self.mesh = mesh
         self.sampling_mode = sampling_mode
         self.capacity_factor = float(capacity_factor)
+        # the (nid, ts) GRU dedup sorts the full instance axis — under
+        # GSPMD that would all-gather the batch-sharded MFGs; keep the
+        # partitioned step per-instance unless explicitly requested
+        kwargs.setdefault("dedup_factor", None)
         super().__init__(model, **kwargs)
         repl = NamedSharding(mesh, P())
         batch = NamedSharding(mesh, P(DATA_AXIS))

@@ -15,6 +15,7 @@ inserts the gradient all-reduce automatically (the DDP-equivalent,
 """
 from __future__ import annotations
 
+import math
 from typing import Any, List, Optional
 
 import jax
@@ -129,7 +130,7 @@ class Trainer:
                  num_snapshots=1, snapshot_time_window=0.0, prop_time=False,
                  is_static=False, lr=1e-4, optimizer=None,
                  neg_sample_ratio=1, memory_storage="float32",
-                 compact_factor="auto"):
+                 compact_factor="auto", dedup_factor="auto"):
         self.model = model
         self.fanouts = tuple(int(f) for f in fanouts)
         self.strategy = sample_strategy
@@ -143,6 +144,27 @@ class Trainer:
                               and self.window > 0 else None)
         self.compact_factor = compact_factor
         self.is_static = bool(is_static)
+        if dedup_factor == "auto":
+            # Opt-in for now.  The memory updater's output is a pure
+            # function of (nid, ts) and measured streams repeat pairs
+            # heavily (only ~13-17% of the 132k instances are unique at
+            # the REDDIT-scale headline), so the GRU compute + memory
+            # pull can be deduplicated exactly — but on v5e the sort /
+            # scatter machinery (2-key sort ~1 ms, inverse-map scatter
+            # ~0.35 ms) plus the expansion VJP costs slightly more than
+            # the ~2.3 ms the 3x-smaller GRU saves (measured 11.0 vs
+            # 10.25 ms/step; see BASELINE.md negative results).  The
+            # machinery is kept (with the sorted-segment-sum Pallas
+            # kernel for the expansion transpose) for larger fanout /
+            # deeper configs where the duplicated-compute fraction is
+            # higher.
+            dedup_factor = None
+        self.dedup_factor = dedup_factor
+        if self.dedup_factor and model.use_memory and \
+                getattr(model, "memory_updater", "gru") != "gru":
+            raise ValueError("dedup_factor requires the GRU updater "
+                             "(the APAN transformer updater uses per-"
+                             "instance dropout)")
         self.tx = optimizer if optimizer is not None else optax.adam(lr)
         self.neg_ratio = int(neg_sample_ratio)
         self.memory_storage = str(memory_storage)
@@ -240,6 +262,75 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _dedup_cap(self, num_all: int) -> int:
+        cap = int(math.ceil(float(self.dedup_factor) * num_all / 256.0))
+        return min(cap * 256, num_all)
+
+    def _run_model(self, state, mfgs, efs, kdrop, valid, train,
+                   mem_input, nfs):
+        """Model fwd (+bwd when training) for a given memory-input/node-
+        feature representation.  Returns ``(loss, pos, neg, last, grads)``
+        (``grads`` None in eval)."""
+        def loss_fn(params):
+            pos, neg, last = self.model.apply(
+                {"params": params}, mfgs, nfs, efs, mem_input,
+                train=train, rngs={"dropout": kdrop})
+            loss = link_pred_loss(pos, neg, valid, self.neg_ratio)
+            return loss, (pos, neg, last)
+
+        if train:
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+        else:
+            loss, aux = loss_fn(state.params)
+            grads = None
+        pos, neg, last = aux
+        return loss, pos, neg, last, grads
+
+    def _model_outputs(self, state, mfgs, kdrop, valid, train,
+                       node_feats, edge_feats):
+        """Dispatch between the deduped (compact GRU) and per-instance
+        model paths.  The dedup fast path is exact — duplicates of a
+        ``(nid, ts)`` pair compute identical memory rows — and a
+        ``lax.cond`` falls back to the per-instance path whenever a batch
+        has more unique pairs than the static capacity."""
+        dn = getattr(self.model, "dim_node", 0)
+        de = getattr(self.model, "dim_edge", 0)
+        use_dedup = bool(self.dedup_factor) and self.model.use_memory
+        if not use_dedup:
+            nfs, efs = fetch_features(mfgs, node_feats, edge_feats,
+                                      dn or None, de or None)
+            mem_input = None
+            if self.model.use_memory:
+                mem_input = memory_lib.prepare_input(
+                    state.memory, mfgs[0][0])
+            return self._run_model(state, mfgs, efs, kdrop, valid, train,
+                                   mem_input, nfs)
+
+        from gnnflow_tpu.ops.dedup import dedup_instances
+        _, efs = fetch_features(mfgs, None, edge_feats, None, de or None)
+        m = mfgs[0][0]
+        cap = self._dedup_cap(m.num_all)
+        uniq_nid, uniq_ts, inv, n_uniq, sidx, rank_sorted = \
+            dedup_instances(m.all_nodes(), m.all_ts(), m.all_mask(), cap)
+
+        def fast(_):
+            di = memory_lib.DedupMemoryInput(
+                state=state.memory, uniq_nids=uniq_nid, uniq_ts=uniq_ts,
+                inv=inv, sidx=sidx, rank_sorted=rank_sorted,
+                node_feats=node_feats, dim_node=dn)
+            return self._run_model(state, mfgs, efs, kdrop, valid, train,
+                                   di, [None] * len(mfgs[0]))
+
+        def full(_):
+            mem_input = memory_lib.prepare_input(state.memory, m)
+            nfs, _ = fetch_features(mfgs, node_feats, None,
+                                    dn or None, None)
+            return self._run_model(state, mfgs, efs, kdrop, valid, train,
+                                   mem_input, nfs)
+
+        return jax.lax.cond(n_uniq <= cap, fast, full, None)
+
     def _step(self, state: TrainState, dg: DeviceGraph,
               node_feats, edge_feats,
               target_nodes, ts, eids, valid, train: bool):
@@ -250,29 +341,14 @@ class Trainer:
                      if self.is_static else ts)
         mfgs = self._sample(dg, target_nodes.astype(jnp.int32), sample_ts,
                             ksample)
-        nfs, efs = fetch_features(
-            mfgs, node_feats, edge_feats,
-            getattr(self.model, "dim_node", 0) or None,
-            getattr(self.model, "dim_edge", 0) or None)
-        mem_input = None
-        if self.model.use_memory:
-            mem_input = memory_lib.prepare_input(state.memory, mfgs[0][0])
-
-        def loss_fn(params):
-            pos, neg, last = self.model.apply(
-                {"params": params}, mfgs, nfs, efs, mem_input,
-                train=train, rngs={"dropout": kdrop})
-            loss = link_pred_loss(pos, neg, valid, self.neg_ratio)
-            return loss, (pos, neg, last)
+        loss, pos, neg, last, grads = self._model_outputs(
+            state, mfgs, kdrop, valid, train, node_feats, edge_feats)
 
         if train:
-            (loss, (pos, neg, last)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
             updates, opt_state = self.tx.update(
                 grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
         else:
-            loss, (pos, neg, last) = loss_fn(state.params)
             params, opt_state = state.params, state.opt_state
 
         memory = state.memory
@@ -297,25 +373,46 @@ class Trainer:
         pre-fetched (cache-supplied) features — the large-feature-table
         path where sampling + cache fetch happen outside jit."""
         key, kdrop = jax.random.split(state.key)
-        mem_input = None
-        if self.model.use_memory:
-            mem_input = memory_lib.prepare_input(state.memory, mfgs[0][0])
+        use_dedup = (bool(self.dedup_factor) and self.model.use_memory
+                     and getattr(self.model, "dim_node", 0) == 0)
+        if use_dedup:
+            # node features arrive pre-gathered per instance here, so the
+            # compact path only applies to node-feature-free models
+            from gnnflow_tpu.ops.dedup import dedup_instances
+            m = mfgs[0][0]
+            cap = self._dedup_cap(m.num_all)
+            uniq_nid, uniq_ts, inv, n_uniq, sidx, rank_sorted = \
+                dedup_instances(m.all_nodes(), m.all_ts(), m.all_mask(),
+                                cap)
 
-        def loss_fn(params):
-            pos, neg, last = self.model.apply(
-                {"params": params}, mfgs, nfs, efs, mem_input,
-                train=train, rngs={"dropout": kdrop})
-            loss = link_pred_loss(pos, neg, valid, self.neg_ratio)
-            return loss, (pos, neg, last)
+            def fast(_):
+                di = memory_lib.DedupMemoryInput(
+                    state=state.memory, uniq_nids=uniq_nid,
+                    uniq_ts=uniq_ts, inv=inv, sidx=sidx,
+                    rank_sorted=rank_sorted)
+                return self._run_model(state, mfgs, efs, kdrop, valid,
+                                       train, di, nfs)
+
+            def full(_):
+                mem_input = memory_lib.prepare_input(state.memory, m)
+                return self._run_model(state, mfgs, efs, kdrop, valid,
+                                       train, mem_input, nfs)
+
+            loss, pos, neg, last, grads = jax.lax.cond(
+                n_uniq <= cap, fast, full, None)
+        else:
+            mem_input = None
+            if self.model.use_memory:
+                mem_input = memory_lib.prepare_input(
+                    state.memory, mfgs[0][0])
+            loss, pos, neg, last, grads = self._run_model(
+                state, mfgs, efs, kdrop, valid, train, mem_input, nfs)
 
         if train:
-            (loss, (pos, neg, last)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
             updates, opt_state = self.tx.update(
                 grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
         else:
-            loss, (pos, neg, last) = loss_fn(state.params)
             params, opt_state = state.params, state.opt_state
 
         memory = state.memory
