@@ -477,31 +477,58 @@ def update_mem_mail(state: MemoryState,
     dmL, drL = state._dm, state._dr   # lane widths (packed or not)
     packed = state.packed
     # NB: column-slice scatters are pathologically slow on TPU; instead
-    # read-modify-write FULL rows (gather current row, replace the target
-    # columns, scatter whole rows).  For bf16-packed storage the new
-    # columns are encoded first and the row assembled in lane space.
+    # write FULL rows.  For bf16-packed storage the new columns are
+    # encoded first and the row assembled in lane space.
     enc_mail = _pack_bf16(mail) if packed else mail
     enc_mts = _pack_f32(mail_ts)[:, None] if packed else mail_ts[:, None]
     win_mail = unique_keep_last_mask(nid, valid_inter)
     safe_mail = jnp.clip(nid, 0, n - 1)
-    cur = state.data[safe_mail]
     if S == 1:
-        mail_rows = jnp.concatenate(
-            [cur[:, : dmL + 1], enc_mail, enc_mts, cur[:, -1:]],
-            axis=1)
-    else:
-        # APAN circular mailbox: write slot (ptr mod S), advance ptr
-        ptr = cur[:, -1].astype(jnp.int32)
-        slot = ptr % S
-        sel = slot[:, None] == jnp.arange(S)[None, :]
-        old_mails = cur[:, dmL + 1: dmL + 1 + S * drL].reshape(-1, S, drL)
-        old_mts = cur[:, dmL + 1 + S * drL: -1]
-        new_mails = jnp.where(sel[..., None], enc_mail[:, None, :],
-                              old_mails).reshape(-1, S * drL)
-        new_mts = jnp.where(sel, enc_mts, old_mts)
-        mail_rows = jnp.concatenate(
-            [cur[:, : dmL + 1], new_mails, new_mts,
-             (ptr + 1).astype(cur.dtype)[:, None]], axis=1)
+        # FUSED single-scatter write-back: the mail + memory columns
+        # together cover every column except ``ptr`` (always 0 when
+        # S == 1), so one full-row scatter per unique node replaces the
+        # reference's two passes (memory.py:233-269) — no row RMW
+        # gathers at all.  Winner orders differ by reference quirk
+        # (mail: interleaved, memory: block order); the memory winner's
+        # values are joined onto the mail winner's row via an [N]-table
+        # index hop.
+        nid_mem = last_updated_nid[:2 * b]
+        win_mem = unique_keep_last_mask(nid_mem, valid_block)
+        memwin = jnp.zeros((n + 1,), jnp.int32).at[
+            jnp.where(win_mem, nid_mem, n)].set(
+            jnp.arange(2 * b, dtype=jnp.int32), mode="drop")
+        midx = memwin[safe_mail]                     # [2b] per mail row
+        # 128-lane pad before the row gather (unaligned-width row
+        # gathers hit a pathological TPU path)
+        lum = last_updated_memory[:2 * b]
+        pad = (-lum.shape[1]) % 128
+        lum_p = jnp.pad(lum, ((0, 0), (0, pad))) if pad else lum
+        mem_w = lum_p[midx][:, : lum.shape[1]]
+        mem_ts_w = last_updated_ts[:2 * b][midx]
+        enc_mem = _pack_bf16(mem_w) if packed else mem_w
+        enc_memts = _pack_f32(mem_ts_w)[:, None] if packed \
+            else mem_ts_w[:, None]
+        ptr_col = jnp.zeros((2 * b, 1), state.data.dtype)
+        rows = jnp.concatenate(
+            [enc_mem, enc_memts, enc_mail, enc_mts, ptr_col], axis=1)
+        data = state.data.at[jnp.where(win_mail, nid, n)].set(
+            rows, mode="drop")
+        return state.replace(data=data)
+    # S > 1 (APAN circular mailbox): slot rotation must preserve the
+    # other slots, so keep the two-pass read-modify-write of full rows.
+    cur = state.data[safe_mail]
+    # write slot (ptr mod S), advance ptr
+    ptr = cur[:, -1].astype(jnp.int32)
+    slot = ptr % S
+    sel = slot[:, None] == jnp.arange(S)[None, :]
+    old_mails = cur[:, dmL + 1: dmL + 1 + S * drL].reshape(-1, S, drL)
+    old_mts = cur[:, dmL + 1 + S * drL: -1]
+    new_mails = jnp.where(sel[..., None], enc_mail[:, None, :],
+                          old_mails).reshape(-1, S * drL)
+    new_mts = jnp.where(sel, enc_mts, old_mts)
+    mail_rows = jnp.concatenate(
+        [cur[:, : dmL + 1], new_mails, new_mts,
+         (ptr + 1).astype(cur.dtype)[:, None]], axis=1)
     data = state.data.at[jnp.where(win_mail, nid, n)].set(
         mail_rows, mode="drop")
 
