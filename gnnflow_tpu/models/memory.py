@@ -224,6 +224,14 @@ class DedupMemoryInput(struct.PyTreeNode):
     dim_node: int = struct.field(pytree_node=False, default=0)
 
 
+class RawMemoryInput(struct.PyTreeNode):
+    """Marker input carrying the raw :class:`MemoryState` — the GRU
+    updater's per-node pre-projection path (no [L, 475] row pull; see
+    :mod:`gnnflow_tpu.ops.gru_gather`).  Single-slot GRU only."""
+
+    state: MemoryState
+
+
 def prepare_input_at(state: MemoryState,
                      nids: jax.Array) -> Dict[str, jax.Array]:
     """Pull memory rows for an explicit node-id array (the compact/dedup
@@ -286,9 +294,66 @@ class GRUMemoryUpdater(nn.Module):
     dtype: Optional[jnp.dtype] = None
     impl: str = "xla"   # "xla" | "pallas" (fused TimeEncode+GRU kernel)
 
+    def _call_table(self, mfg: MFG, state: MemoryState):
+        """Per-node pre-projection path (``ops/gru_gather.py``): identical
+        GRU math to :class:`FusedGRUCell` with the per-node matmuls hoisted
+        out of instance space — no [L, 475] memory-row pull.  Returns the
+        per-instance updated memory [L, f] (f32)."""
+        from gnnflow_tpu.models.modules import (GRUGateParams, TimeEncode)
+        from gnnflow_tpu.ops.gru_gather import gru_node_gather
+        f = self.dim_memory
+        dm = state.dim_raw
+        fan_in = dm + self.dim_time
+        # name matches the per-instance cell for checkpoint compatibility
+        (ki, bi), (kh, bh) = GRUGateParams(
+            fan_in, f, name="FusedGRUCell_0")()
+        cdt = self.dtype or jnp.float32
+        name = jnp.dtype(cdt).name
+        nids = jnp.clip(mfg.all_nodes(), 0, state.num_nodes - 1)
+        gi, gh, mem_i, mem_ts_i = gru_node_gather(
+            state.node_memory, state.mailbox, state.node_memory_ts,
+            ki[:dm], kh, nids, name)
+        if self.dim_time > 0:
+            tw, tb = TimeEncode(self.dim_time).weights()
+            dts = mfg.all_ts() - mem_ts_i
+            tf = jnp.cos(dts[:, None] * tw + tb)
+            gi = gi + tf.astype(cdt) @ ki[dm:].astype(cdt)
+        gi = gi + bi.astype(cdt)
+        gh = gh + bh.astype(cdt)
+        i_r, i_z, i_n = gi[..., :f], gi[..., f:2 * f], gi[..., 2 * f:]
+        h_r, h_z, h_n = gh[..., :f], gh[..., f:2 * f], gh[..., 2 * f:]
+        r = nn.sigmoid(i_r + h_r)
+        z = nn.sigmoid(i_z + h_z)
+        n_ = nn.tanh(i_n + r * h_n)
+        return ((1.0 - z) * n_ + z * mem_i.astype(n_.dtype)) \
+            .astype(jnp.float32)
+
     @nn.compact
     def __call__(self, mfg: MFG, mem_input, node_feats=None
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        if isinstance(mem_input, RawMemoryInput):
+            if mem_input.state.mailbox_slots != 1:
+                raise ValueError("RawMemoryInput requires a single-slot "
+                                 "mailbox")
+            updated = self._call_table(mfg, mem_input.state)
+            if self.dim_node > 0:
+                proj = None if self.dim_node == self.dim_memory else \
+                    Linear(self.dim_memory, name="node_feat_proj")
+                h = updated if node_feats is None else \
+                    updated + (node_feats if proj is None
+                               else proj(node_feats))
+            else:
+                h = updated
+            num_dst = mfg.num_dst
+            last_updated = {
+                "last_updated_nid": jax.lax.stop_gradient(
+                    mfg.all_nodes()[:num_dst]),
+                "last_updated_memory": jax.lax.stop_gradient(
+                    updated[:num_dst]),
+                "last_updated_ts": jax.lax.stop_gradient(
+                    mfg.all_ts()[:num_dst]),
+            }
+            return h, last_updated
         dedup = isinstance(mem_input, DedupMemoryInput)
         if dedup:
             di = mem_input

@@ -211,6 +211,25 @@ class FusedGRUCell(nn.Module):
         return (1.0 - z) * n + z * h
 
 
+class GRUGateParams(nn.Module):
+    """Parameter-only stand-in for :class:`FusedGRUCell`.
+
+    Creates the identical variable tree (``ih``/``hh`` GateParams), so a
+    module that computes the GRU math through a different dataflow (the
+    per-node pre-projection path) stays checkpoint-compatible with the
+    per-instance cell when instantiated with ``name="FusedGRUCell_0"``."""
+
+    fan_in: int
+    features: int
+
+    def setup(self):
+        self.ih = GateParams(self.fan_in, 3 * self.features, name="ih")
+        self.hh = GateParams(self.features, 3 * self.features, name="hh")
+
+    def __call__(self):
+        return self.ih(), self.hh()
+
+
 class TimeEncode(nn.Module):
     """TGAT fixed-frequency time encoding: ``cos(w * dt + b)`` with
     ``w = 1/10^linspace(0, 9, d)`` (``layers.py:16-35``).  Trainable.

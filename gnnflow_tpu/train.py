@@ -130,7 +130,8 @@ class Trainer:
                  num_snapshots=1, snapshot_time_window=0.0, prop_time=False,
                  is_static=False, lr=1e-4, optimizer=None,
                  neg_sample_ratio=1, memory_storage="float32",
-                 compact_factor="auto", dedup_factor="auto"):
+                 compact_factor="auto", dedup_factor="auto",
+                 gru_table="auto"):
         self.model = model
         self.fanouts = tuple(int(f) for f in fanouts)
         self.strategy = sample_strategy
@@ -165,6 +166,17 @@ class Trainer:
             raise ValueError("dedup_factor requires the GRU updater "
                              "(the APAN transformer updater uses per-"
                              "instance dropout)")
+        if gru_table == "auto":
+            # per-node gate pre-projection (ops/gru_gather.py): hoists
+            # the GRU's node-dependent matmuls out of instance space and
+            # replaces the [L, 475] memory-row pull with one compact
+            # gather — identical math, measured ~2x faster memory path
+            gru_table = (model.use_memory
+                         and getattr(model, "memory_updater",
+                                     "gru") == "gru"
+                         and getattr(model, "gru_impl", "xla") == "xla"
+                         and getattr(model, "mailbox_slots", 1) == 1)
+        self.gru_table = bool(gru_table)
         self.tx = optimizer if optimizer is not None else optax.adam(lr)
         self.neg_ratio = int(neg_sample_ratio)
         self.memory_storage = str(memory_storage)
@@ -216,7 +228,7 @@ class Trainer:
         memory = None
         if self.model.use_memory:
             memory = self._init_memory(num_nodes)
-            mem_input = memory_lib.prepare_input(memory, mfgs[0][0])
+            mem_input = self._mem_input(memory, mfgs[0][0])
         # jit the whole init: eager op-by-op dispatch is pathologically
         # slow on remote-compile device tunnels
         init_fn = jax.jit(
@@ -287,6 +299,18 @@ class Trainer:
         pos, neg, last = aux
         return loss, pos, neg, last, grads
 
+    def _mem_input(self, memory, mfg):
+        """Memory-updater input: the raw state (per-node pre-projection
+        path) or pulled per-instance rows.
+
+        The table path computes gate projections over ALL N node rows, so
+        it only pays off when the node table is small relative to the
+        instance count (N << L it is ~60x redundancy at REDDIT scale; at
+        GDELT scale N >> L and per-node work would dominate)."""
+        if self.gru_table and memory.num_nodes <= 2 * mfg.num_all:
+            return memory_lib.RawMemoryInput(state=memory)
+        return memory_lib.prepare_input(memory, mfg)
+
     def _model_outputs(self, state, mfgs, kdrop, valid, train,
                        node_feats, edge_feats):
         """Dispatch between the deduped (compact GRU) and per-instance
@@ -302,8 +326,7 @@ class Trainer:
                                       dn or None, de or None)
             mem_input = None
             if self.model.use_memory:
-                mem_input = memory_lib.prepare_input(
-                    state.memory, mfgs[0][0])
+                mem_input = self._mem_input(state.memory, mfgs[0][0])
             return self._run_model(state, mfgs, efs, kdrop, valid, train,
                                    mem_input, nfs)
 
@@ -323,7 +346,7 @@ class Trainer:
                                    di, [None] * len(mfgs[0]))
 
         def full(_):
-            mem_input = memory_lib.prepare_input(state.memory, m)
+            mem_input = self._mem_input(state.memory, m)
             nfs, _ = fetch_features(mfgs, node_feats, None,
                                     dn or None, None)
             return self._run_model(state, mfgs, efs, kdrop, valid, train,
@@ -394,7 +417,7 @@ class Trainer:
                                        train, di, nfs)
 
             def full(_):
-                mem_input = memory_lib.prepare_input(state.memory, m)
+                mem_input = self._mem_input(state.memory, m)
                 return self._run_model(state, mfgs, efs, kdrop, valid,
                                        train, mem_input, nfs)
 
@@ -403,8 +426,7 @@ class Trainer:
         else:
             mem_input = None
             if self.model.use_memory:
-                mem_input = memory_lib.prepare_input(
-                    state.memory, mfgs[0][0])
+                mem_input = self._mem_input(state.memory, mfgs[0][0])
             loss, pos, neg, last, grads = self._run_model(
                 state, mfgs, efs, kdrop, valid, train, mem_input, nfs)
 
@@ -495,8 +517,7 @@ class Trainer:
                     getattr(self.model, "dim_edge", 0) or None)
                 mem_input = None
                 if self.model.use_memory:
-                    mem_input = memory_lib.prepare_input(
-                        state.memory, mfgs[0][0])
+                    mem_input = self._mem_input(state.memory, mfgs[0][0])
                 embed, _ = self.model.apply(
                     {"params": state.params}, mfgs, nfs, efs, mem_input,
                     train=False, return_embed=True,
