@@ -44,7 +44,8 @@ def _assemble_fn(dim: int):
              inv, valid):
         out = jnp.zeros((n_uniq, dim), jnp.float32)
         out = out.at[hit_pos].set(buffer[hit_slots], mode="drop")
-        out = out.at[miss_pos].set(miss_vals, mode="drop")
+        out = out.at[miss_pos].set(miss_vals.astype(jnp.float32),
+                                   mode="drop")
         rows = out[jnp.clip(inv, 0, n_uniq - 1)]
         return jnp.where(valid[:, None], rows, 0.0)
 
@@ -55,7 +56,8 @@ def _assemble_fn(dim: int):
 def _insert_fn():
     @jax.jit
     def impl(buffer, slots, vals):
-        return buffer.at[slots].set(vals, mode="drop")
+        return buffer.at[slots].set(vals.astype(buffer.dtype),
+                                    mode="drop")
     return impl
 
 
@@ -110,10 +112,17 @@ class _KindCache:
     ``.pull``) as ``table`` for the latter."""
 
     def __init__(self, capacity: int, num_ids: int, dim: int,
-                 table):
+                 table, transfer_dtype: str = "float32"):
         self.capacity = int(capacity)
         self.num_ids = int(num_ids)
         self.dim = int(dim)
+        # miss rows can stream host->device as bf16 (half the transfer
+        # bytes; values round to bf16).  The HBM buffer stays f32.
+        if transfer_dtype not in ("float32", "bfloat16"):
+            raise ValueError(transfer_dtype)
+        import ml_dtypes
+        self._tdt = np.dtype(ml_dtypes.bfloat16) \
+            if transfer_dtype == "bfloat16" else np.float32
         self.distributed = hasattr(table, "pull")
         self.table = table                       # master [N, dim]
         if self.distributed:
@@ -206,10 +215,12 @@ class _KindCache:
         miss_idsp = ids[miss_pos]
         miss_vals = self._pull(miss_idsp, pad_to_n=nm)
         miss_posp = pad_to(miss_pos, nm, n_uniq)
+        send = miss_vals if isinstance(miss_vals, jax.Array) \
+            else miss_vals.astype(self._tdt)
         out = _assemble_fn(self.dim)(
             self.buffer, n_uniq,
             jnp.asarray(hit_slots), jnp.asarray(hit_posp),
-            jnp.asarray(miss_vals, dtype=jnp.float32),
+            jnp.asarray(send),
             jnp.asarray(miss_posp),
             jnp.asarray(np.asarray(inv, np.int64)),
             jnp.asarray(valid))
@@ -235,7 +246,7 @@ class _KindCache:
         if isinstance(miss_vals, jax.Array):
             vals_p = jnp.pad(miss_vals[:k], ((0, kb - k), (0, 0)))
         else:
-            vals_p = np.zeros((kb, self.dim), np.float32)
+            vals_p = np.zeros((kb, self.dim), self._tdt)
             vals_p[:k] = miss_vals[:k]
             vals_p = jnp.asarray(vals_p)
         self.buffer = _insert_fn()(self.buffer, jnp.asarray(slots_p),
@@ -285,16 +296,17 @@ class Cache:
             return (t.array.shape[1] if hasattr(t, "pull")
                     else t.shape[1])
 
+        tdt = kwargs.get("transfer_dtype", "float32")
         if node_feats is not None:
             dim_node = table_dim(node_feats)
             cap = int(node_cache_ratio * num_nodes)
             self.node_cache = _KindCache(cap, num_nodes, dim_node,
-                                         node_feats)
+                                         node_feats, transfer_dtype=tdt)
         if edge_feats is not None:
             dim_edge = table_dim(edge_feats)
             cap = int(edge_cache_ratio * num_edges)
             self.edge_cache = _KindCache(cap, num_edges, dim_edge,
-                                         edge_feats)
+                                         edge_feats, transfer_dtype=tdt)
         self.dim_node = dim_node
         self.dim_edge = dim_edge
         self.target_edge_features: Optional[jax.Array] = None

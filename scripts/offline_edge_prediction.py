@@ -59,6 +59,10 @@ parser.add_argument("--pipeline", action="store_true",
                          "(cache mode only; the reference's sampling "
                          "thread, offline_edge_prediction.py:343-399)")
 parser.add_argument("--edge-cache-ratio", type=float, default=0)
+parser.add_argument("--cache-transfer-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="stream cache-miss rows host->device as bf16 "
+                         "(half the transfer bytes; values round to bf16)")
 parser.add_argument("--node-cache-ratio", type=float, default=0)
 parser.add_argument("--snapshot-time-window", type=float, default=0)
 parser.add_argument("--synthetic-edges", type=int, default=100_000)
@@ -178,7 +182,8 @@ def main():
         from gnnflow_tpu.temporal_sampler import TemporalSampler
         cache = CACHES[args.cache](
             args.edge_cache_ratio, args.node_cache_ratio, num_nodes,
-            dgraph.num_edges(), node_feats, edge_feats)
+            dgraph.num_edges(), node_feats, edge_feats,
+            transfer_dtype=args.cache_transfer_dtype)
         sampler = TemporalSampler(dgraph, **{
             k: v for k, v in sampler_kwargs.items()})
         if args.cache == "GNNLabStaticCache":

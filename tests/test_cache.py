@@ -165,3 +165,31 @@ def test_host_storage_hybrid_training():
         assert np.isfinite(float(loss))
         if i >= 2:
             break
+
+
+def test_bf16_transfer_dtype():
+    """Miss rows streamed as bf16 reproduce the master rows to bf16
+    precision; the HBM buffer stays f32."""
+    import jax.numpy as jnp
+    train, full, g, nf, ef = _graph_and_feats()
+    sampler = TemporalSampler(g, fanouts=[5], sample_strategy="recent")
+    num_nodes = g.max_vertex_id() + 1
+    cache = LRUCache(edge_cache_ratio=0.2, node_cache_ratio=0.2,
+                     num_nodes=num_nodes, num_edges=len(full),
+                     node_feats=nf, edge_feats=ef,
+                     transfer_dtype="bfloat16")
+    cache.init_cache()
+    neg = DstRandEdgeSampler(train.dst, seed=1)
+    for i, batch in enumerate(get_batches(train, 100, neg)):
+        if i >= 3:
+            break
+        mfgs = sampler.sample(batch.target_nodes, batch.ts)
+        nfs, efs = cache.fetch_feature(mfgs, batch.eids)
+        mfg = mfgs[0][0]
+        eids2 = np.asarray(mfg.nbr_eids)
+        emask = np.asarray(mfg.nbr_mask)
+        got_e = np.asarray(efs[0][0])
+        exp_e = np.where(emask[..., None], ef[np.clip(eids2, 0, None)],
+                         0.0)
+        np.testing.assert_allclose(got_e, exp_e, rtol=2e-2, atol=2e-2)
+    assert cache.edge_cache.buffer.dtype == jnp.float32
