@@ -79,7 +79,8 @@ class DGNN(nn.Module):
                 self.updater = TransformerMemoryUpdater(
                     self.dim_node, self.dim_edge, self.dim_time,
                     self.dim_embed, self.dim_memory,
-                    att_head=self.att_head, dropout=self.dropout)
+                    att_head=self.att_head, dropout=self.dropout,
+                    dtype=cdt)
             else:
                 raise ValueError(self.memory_updater)
         dim_node_input = self.dim_memory if self.use_memory \

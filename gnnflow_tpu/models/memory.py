@@ -277,6 +277,51 @@ def prepare_input(state: MemoryState, mfg: MFG) -> Dict[str, jax.Array]:
     return prepare_input_at(state, mfg.all_nodes())
 
 
+def prepare_input_bf16(state: MemoryState, mfg: MFG) -> Dict[str, jax.Array]:
+    """bf16-packed per-instance pull for bf16 compute mode.
+
+    The node table is cast ONCE per step (N rows, cheap) into a bf16 row
+    table with timestamps/ptr carried bitcast-exact as bf16 lane pairs,
+    halving the per-instance gather bytes and removing the downstream
+    f32→bf16 cast copies of [L, *] intermediates (profiled at ~16 ms/step
+    for APAN's 3832-wide rows).  Values round to bf16 — use only with
+    ``compute_dtype="bfloat16"`` (which casts them anyway); timestamps
+    stay exact."""
+    if state.packed:   # already-bf16 packed storage: plain path
+        return prepare_input(state, mfg)
+    from gnnflow_tpu.ops.gru_gather import (_pack_f32_as_bf16,
+                                            _unpack_bf16_as_f32)
+    d = state.data
+    dm, s, dr = state.dim_memory, state.mailbox_slots, state.dim_raw
+    mem = d[:, :dm].astype(jnp.bfloat16)
+    mts = _pack_f32_as_bf16(d[:, dm])                       # [N, 4]
+    mails = d[:, dm + 1: dm + 1 + s * dr].astype(jnp.bfloat16)
+    mlts = _pack_f32_as_bf16(
+        d[:, dm + 1 + s * dr: -1]).reshape(-1, 4 * s)       # [N, 4s]
+    ptr = _pack_f32_as_bf16(d[:, -1])                       # [N, 4]
+    table = jnp.concatenate([mem, mts, mails, mlts, ptr], axis=1)
+    w = table.shape[1]
+    pad = (-w) % 128
+    if pad:
+        table = jnp.pad(table, ((0, 0), (0, pad)))
+    nids = mfg.all_nodes()
+    rows = table[jnp.clip(nids, 0, state.num_nodes - 1)]
+    n = rows.shape[0]
+    mem_i = rows[:, :dm]
+    mem_ts = _unpack_bf16_as_f32(rows[:, dm:dm + 4])
+    mail_i = rows[:, dm + 4: dm + 4 + s * dr]
+    mail_ts = _unpack_bf16_as_f32(
+        rows[:, dm + 4 + s * dr: dm + 4 + s * dr + 4 * s]
+        .reshape(n, s, 4))                                  # [n, s]
+    if s == 1:
+        return {"mem": mem_i, "mem_ts": mem_ts,
+                "mail": mail_i, "mail_ts": mail_ts[:, 0]}
+    return {"mem": mem_i, "mem_ts": mem_ts,
+            "mail": mail_i.reshape(n, s, dr),
+            "mail_ts": mail_ts,
+            "mail_ptr": _unpack_bf16_as_f32(rows[:, w - 4: w])}
+
+
 class GRUMemoryUpdater(nn.Module):
     """GRU-cell memory updater (``memory_updater.py:13-91``).
 
@@ -446,6 +491,7 @@ class TransformerMemoryUpdater(nn.Module):
     dim_memory: int
     att_head: int = 2
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, mfg: MFG, mem_input: Dict[str, jax.Array],
@@ -460,28 +506,37 @@ class TransformerMemoryUpdater(nn.Module):
         else:
             mail_ts = mem_input["mail_ts"]                 # [n, S]
         n, S, dr = mail.shape
+        cdt = self.dtype or jnp.float32
 
-        x = mail
+        parts = [mail]
         if self.dim_time > 0:
             tf = TimeEncode(self.dim_time)(all_ts[:, None] - mail_ts)
-            x = jnp.concatenate([mail, tf], axis=-1)       # [n, S, dr+dt]
+            parts.append(tf.astype(cdt))                   # [n, S, dt]
 
         # memory queries attend over the S mail slots (TGL's APAN
-        # TransformerMemoryUpdater)
-        q = Linear(self.dim_memory, name="w_q")(mem)       # [n, dm]
-        k = Linear(self.dim_memory, name="w_k")(x)         # [n, S, dm]
-        v = Linear(self.dim_memory, name="w_v")(x)
+        # TransformerMemoryUpdater).  K and V are ONE fused projection
+        # computed as a sum of per-part matmuls — the wide [n, S, dr+dt]
+        # concat never hits HBM (the [132k, 10, 472] f32 intermediate
+        # dominated the APAN step before this).
+        from gnnflow_tpu.models.modules import MultiLinear
+        q = Linear(self.dim_memory, name="w_q", dtype=self.dtype)(mem)
+        kv = MultiLinear(2 * self.dim_memory, name="w_kv",
+                         dtype=self.dtype)(parts)          # [n, S, 2dm]
+        k = kv[..., : self.dim_memory]
+        v = kv[..., self.dim_memory:]
         H = self.att_head
         dh = self.dim_memory // H
         qh = q.reshape(n, 1, H, dh)
         kh = k.reshape(n, S, H, dh)
         vh = v.reshape(n, S, H, dh)
-        att = jnp.sum(qh * kh, -1) / jnp.sqrt(jnp.float32(dh))  # [n,S,H]
+        att = jnp.sum(qh * kh, -1).astype(jnp.float32) \
+            / jnp.sqrt(jnp.float32(dh))                    # [n,S,H]
         att = jax.nn.softmax(att, axis=1)
         att = nn.Dropout(self.dropout, deterministic=not train)(att)
-        upd = jnp.sum(vh * att[..., None], axis=1).reshape(
+        upd = jnp.sum(vh * att[..., None].astype(cdt), axis=1).reshape(
             n, self.dim_memory)
-        upd = nn.LayerNorm(epsilon=1e-5)(mem + upd)
+        upd = nn.LayerNorm(epsilon=1e-5)(
+            mem.astype(jnp.float32) + upd.astype(jnp.float32))
 
         num_dst = mfg.num_dst
         last_updated = {

@@ -27,13 +27,23 @@ from jax import lax
 
 
 def _pack_f32_as_bf16(x: jax.Array) -> jax.Array:
-    """f32 [N] -> bf16 [N, 2] carrying the exact bits."""
-    return lax.bitcast_convert_type(x.astype(jnp.float32), jnp.bfloat16)
+    """f32 [...] -> bf16 [..., 4] carrying the exact bits, NaN-proof.
+
+    A naive bitcast into bf16 *pairs* corrupts ~0.4% of arbitrary floats:
+    the low half's bit pattern can form a bf16 NaN, and XLA canonicalizes
+    NaN payloads in transit (measured on CPU: low-bit corruption of
+    timestamps).  Bytes ride as exact small-integer bf16 values (0-255
+    are always normal), immune to canonicalization."""
+    b = lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint8)
+    return b.astype(jnp.bfloat16)
 
 
 def _unpack_bf16_as_f32(x: jax.Array) -> jax.Array:
-    """bf16 [..., 2] -> f32 [...] (inverse of :func:`_pack_f32_as_bf16`)."""
-    return lax.bitcast_convert_type(x, jnp.float32)
+    """bf16 [..., 4] -> f32 [...] (inverse of :func:`_pack_f32_as_bf16`)."""
+    u = x.astype(jnp.uint32)
+    u = (u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
+         | (u[..., 3] << 24))
+    return lax.bitcast_convert_type(u, jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -70,7 +80,7 @@ def _node_gather_impl(mem_t, mail_t, mem_ts_t, ki_mail, kh, nids,
     giM = mail_t.astype(cdt) @ ki_mail.astype(cdt)   # [N, 3f]
     ghM = mem_t.astype(cdt) @ kh.astype(cdt)         # [N, 3f]
     if cdt == jnp.bfloat16:
-        ts_cols = _pack_f32_as_bf16(mem_ts_t)        # exact, 2 lanes
+        ts_cols = _pack_f32_as_bf16(mem_ts_t)        # exact, 4 lanes
     else:
         ts_cols = mem_ts_t[:, None]
     table = jnp.concatenate(
@@ -86,7 +96,7 @@ def _node_gather_impl(mem_t, mail_t, mem_ts_t, ki_mail, kh, nids,
     mem_i = rows[:, 2 * f3:2 * f3 + f]
     if cdt == jnp.bfloat16:
         mem_ts_i = _unpack_bf16_as_f32(
-            rows[:, 2 * f3 + f:2 * f3 + f + 2])
+            rows[:, 2 * f3 + f:2 * f3 + f + 4])
     else:
         mem_ts_i = rows[:, 2 * f3 + f]
     return gi_mail, gh, mem_i, mem_ts_i

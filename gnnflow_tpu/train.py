@@ -309,6 +309,11 @@ class Trainer:
         GDELT scale N >> L and per-node work would dominate)."""
         if self.gru_table and memory.num_nodes <= 2 * mfg.num_all:
             return memory_lib.RawMemoryInput(state=memory)
+        if getattr(self.model, "compute_dtype", None) == "bfloat16":
+            # halves the per-instance row-gather bytes; timestamps stay
+            # bitcast-exact, values round to bf16 (which the compute
+            # casts do anyway)
+            return memory_lib.prepare_input_bf16(memory, mfg)
         return memory_lib.prepare_input(memory, mfg)
 
     def _model_outputs(self, state, mfgs, kdrop, valid, train,

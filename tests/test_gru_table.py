@@ -89,3 +89,35 @@ def test_param_tree_identical():
     pb = [jtu.keystr(k) for k, _ in jtu.tree_flatten_with_path(
         s_b.params)[0]]
     assert pa == pb
+
+
+def test_prepare_input_bf16_matches_plain():
+    """The bf16-packed pull returns bf16-rounded values with EXACT
+    timestamps/ptr for both single- and multi-slot mailboxes."""
+    from gnnflow_tpu.models import memory as memory_lib
+    from gnnflow_tpu.common import MFG
+    rng = np.random.RandomState(0)
+    for slots in (1, 4):
+        st = memory_lib.init_memory(50, 16, 8, mailbox_slots=slots)
+        data = rng.randn(*st.data.shape).astype(np.float32) * 3
+        data[:, -1] = rng.randint(0, 9, 50)  # ptr column
+        st = st.replace(data=jnp.asarray(data))
+        B, F = 6, 4
+        mfg = MFG(root_nids=jnp.asarray(rng.randint(0, 50, B), jnp.int32),
+                  root_ts=jnp.asarray(rng.rand(B), jnp.float32),
+                  nbr_nids=jnp.asarray(rng.randint(0, 50, (B, F)),
+                                       jnp.int32),
+                  nbr_ts=jnp.asarray(rng.rand(B, F), jnp.float32),
+                  nbr_dts=jnp.zeros((B, F), jnp.float32),
+                  nbr_eids=jnp.zeros((B, F), jnp.int32),
+                  nbr_mask=jnp.ones((B, F), bool))
+        a = memory_lib.prepare_input(st, mfg)
+        b = memory_lib.prepare_input_bf16(st, mfg)
+        for k in a:
+            av, bv = np.asarray(a[k], np.float32), np.asarray(
+                b[k], np.float32)
+            if k in ("mem_ts", "mail_ts", "mail_ptr"):
+                np.testing.assert_array_equal(av, bv, err_msg=k)
+            else:
+                np.testing.assert_allclose(av, bv, rtol=8e-3, atol=8e-3,
+                                           err_msg=k)
