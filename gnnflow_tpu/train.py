@@ -274,6 +274,91 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def calibrate(self, dg: DeviceGraph, batches, *, key=None,
+                  max_batches: int = 3) -> dict:
+        """Choose the static compaction knobs from measured batch stats.
+
+        ``compact_factor`` (inter-layer sampling compaction) and
+        ``dedup_factor`` ((nid, ts) GRU dedup) are static capacities: set
+        too low they overflow into the ``lax.cond`` fallback every step
+        (paying the machinery for nothing), set too high they waste
+        compute on padding.  The right values depend on the stream —
+        e.g. deeper-layer occupancy is ~10% at snapshot window 1000 but
+        ~55% at window 10000 on the same graph.  This samples a few real
+        batches uncompacted, measures occupancy and unique-pair
+        fractions, picks factors with ~1.4x headroom (disabled when the
+        measured benefit is too small to beat the machinery — see
+        BASELINE.md), and re-jits the step.
+
+        Args:
+            dg: the device graph to sample against.
+            batches: iterable of batch objects (``target_nodes``/``ts``).
+            key: PRNG key for uniform sampling (default: key(0)).
+
+        Returns:
+            dict of the measured stats and chosen factors.
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        occ = []
+        uniq_frac = []
+        n = 0
+        for batch in batches:
+            if n >= max_batches:
+                break
+            n += 1
+            roots = jnp.asarray(batch.target_nodes, jnp.int32)
+            ts = jnp.asarray(batch.ts, jnp.float32)
+            if self.is_static:
+                ts = jnp.full_like(ts, np.float32(3.4e38))
+            mfgs = sample_hops(
+                dg, roots, ts, fanouts=self.fanouts,
+                strategy=self.strategy, num_snapshots=self.num_snapshots,
+                window=self.window, prop_time=self.prop_time,
+                search_iters=self._iters(dg), compact_factor=None,
+                key=key)
+            # occupancy of non-innermost layers' neighbor slots = the
+            # deeper layers' root-compaction opportunity
+            for layer in mfgs[1:]:
+                for m in layer:
+                    occ.append(float(np.asarray(m.nbr_mask).mean()))
+            if self.model.use_memory:
+                m = mfgs[0][0]
+                nid = np.asarray(m.all_nodes())
+                mts = np.asarray(m.all_ts()).view(np.int32)
+                valid = np.asarray(m.all_mask())
+                pairs = np.stack([nid[valid], mts[valid]], 1)
+                u = np.unique(pairs, axis=0).shape[0]
+                uniq_frac.append(u / max(nid.size, 1))
+        stats = {"occupancy": max(occ) if occ else None,
+                 "uniq_frac": max(uniq_frac) if uniq_frac else None}
+        changed = False
+        if occ:
+            o = stats["occupancy"]
+            new = round(min(0.9, 1.4 * o + 0.02), 2) if o < 0.6 else None
+            if new != self.compact_factor:
+                self.compact_factor = new
+                changed = True
+        if uniq_frac and getattr(self.model, "memory_updater",
+                                 "gru") == "gru":
+            u = stats["uniq_frac"]
+            # dedup machinery costs ~2 ms at L=132k; only worth it when
+            # the duplicate fraction is extreme (measured: loses at
+            # uniq_frac 0.17, see BASELINE.md)
+            new = round(min(0.35, 2.5 * u + 0.02), 2) if u <= 0.08 \
+                else None
+            if new != self.dedup_factor:
+                self.dedup_factor = new
+                changed = True
+        if changed:
+            self._train_step = jax.jit(self._step, static_argnums=(8,),
+                                       donate_argnums=(0,))
+            self._pre_step = jax.jit(self._step_prefetched,
+                                     static_argnums=(7,),
+                                     donate_argnums=(0,))
+        stats["compact_factor"] = self.compact_factor
+        stats["dedup_factor"] = self.dedup_factor
+        return stats
+
     def _dedup_cap(self, num_all: int) -> int:
         cap = int(math.ceil(float(self.dedup_factor) * num_all / 256.0))
         return min(cap * 256, num_all)

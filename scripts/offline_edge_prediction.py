@@ -59,6 +59,10 @@ parser.add_argument("--pipeline", action="store_true",
                          "(cache mode only; the reference's sampling "
                          "thread, offline_edge_prediction.py:343-399)")
 parser.add_argument("--edge-cache-ratio", type=float, default=0)
+parser.add_argument("--calibrate", action="store_true",
+                    help="measure deeper-layer occupancy + (nid,ts) "
+                         "duplication on a few real batches and pick the "
+                         "static compaction factors before training")
 parser.add_argument("--cache-transfer-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="stream cache-miss rows host->device as bf16 "
@@ -193,6 +197,13 @@ def main():
             cache.init_cache()
         logging.info("cache mem size: %.2f MB",
                      cache.get_mem_size() / 1e6)
+
+    if args.calibrate:
+        cal_neg = DstRandEdgeSampler(train_data.dst, seed=args.seed)
+        cal = trainer.calibrate(
+            dg, list(get_batches(train_data, batch_size,
+                                 cal_neg))[-3:])
+        logging.info("calibration: %s", cal)
 
     train_neg = DstRandEdgeSampler(train_data.dst, seed=args.seed)
     val_neg = DstRandEdgeSampler(full_data.dst, seed=args.seed + 1)

@@ -121,3 +121,59 @@ def test_prepare_input_bf16_matches_plain():
             else:
                 np.testing.assert_allclose(av, bv, rtol=8e-3, atol=8e-3,
                                            err_msg=k)
+
+
+def test_calibrate_picks_factors():
+    """calibrate() measures occupancy/duplication on real batches and
+    picks the static compaction factors (dense windows disable the
+    inter-layer compaction; extreme duplication enables dedup)."""
+    train, _, _, full, _, ef = make_synthetic_dataset(
+        num_src=60, num_dst=15, num_edges=6000, dim_edge=8, seed=3)
+    g = DynamicGraph(initial_pool_size=4096, maximum_pool_size=1 << 22,
+                     mem_resource_type="hbm", minimum_block_size=8,
+                     insertion_policy="insert")
+    g.add_edges(full.src, full.dst, full.time, full.eid, add_reverse=True)
+    dg = g.device_graph()
+    model = DGNN(dim_node=0, dim_edge=8, dim_time=8, dim_embed=16,
+                 num_layers=2, num_snapshots=3, att_head=2, dropout=0.0,
+                 att_dropout=0.0, use_memory=False)
+    trainer = Trainer(model, fanouts=[5, 5], sample_strategy="uniform",
+                      num_snapshots=3, snapshot_time_window=1.0,
+                      prop_time=True, lr=1e-3)
+    neg = DstRandEdgeSampler(train.dst, seed=1)
+    batches = list(get_batches(train, 300, neg))[-3:]
+    stats = trainer.calibrate(dg, batches)
+    assert stats["occupancy"] is not None
+    # the chosen factor must cover the measured occupancy with headroom
+    # (or be disabled when occupancy is high)
+    if stats["compact_factor"] is not None:
+        assert stats["compact_factor"] >= stats["occupancy"]
+    # trainer still trains after re-jit
+    ef_arr = jnp.asarray(ef)
+    state = trainer.init_state(jax.random.PRNGKey(0), dg, 300, None,
+                               ef_arr, num_nodes=g.max_vertex_id() + 1)
+    state, loss, _, _ = trainer.train_step(state, dg, None, ef_arr,
+                                           batches[0])
+    assert np.isfinite(float(loss))
+
+
+def test_calibrate_memory_duplication():
+    """With a memory model, calibrate reports the unique-(nid, ts)
+    fraction and only enables dedup under extreme duplication."""
+    train, _, _, full, _, ef = make_synthetic_dataset(
+        num_src=150, num_dst=40, num_edges=4000, dim_edge=12, seed=7)
+    g = DynamicGraph(initial_pool_size=4096, maximum_pool_size=1 << 22,
+                     mem_resource_type="hbm", minimum_block_size=8,
+                     insertion_policy="insert")
+    g.add_edges(full.src, full.dst, full.time, full.eid, add_reverse=True)
+    dg = g.device_graph()
+    model = DGNN(dim_node=0, dim_edge=12, dim_time=16, dim_embed=32,
+                 num_layers=1, num_snapshots=1, att_head=2, dropout=0.0,
+                 att_dropout=0.0, use_memory=True, dim_memory=32)
+    trainer = Trainer(model, fanouts=[10], sample_strategy="recent",
+                      lr=1e-3)
+    neg = DstRandEdgeSampler(train.dst, seed=1)
+    stats = trainer.calibrate(dg, list(get_batches(train, 400, neg))[:2])
+    assert stats["uniq_frac"] is not None
+    if stats["uniq_frac"] > 0.08:
+        assert stats["dedup_factor"] is None
