@@ -167,15 +167,15 @@ class Trainer:
                              "(the APAN transformer updater uses per-"
                              "instance dropout)")
         if gru_table == "auto":
-            # per-node gate pre-projection (ops/gru_gather.py): hoists
-            # the GRU's node-dependent matmuls out of instance space and
-            # replaces the [L, 475] memory-row pull with one compact
-            # gather — identical math, measured ~2x faster memory path
-            gru_table = (model.use_memory
-                         and getattr(model, "memory_updater",
-                                     "gru") == "gru"
-                         and getattr(model, "gru_impl", "xla") == "xla"
-                         and getattr(model, "mailbox_slots", 1) == 1)
+            # Opt-in.  The per-node gate pre-projection
+            # (ops/gru_gather.py) hoists the GRU's node-dependent
+            # matmuls out of instance space — identical math — but once
+            # the bf16-packed pull landed (prepare_input_bf16) the plain
+            # path is faster everywhere measured: headline 9.34 vs
+            # 10.15 ms/step (the table path's expansion-gather layout
+            # copies outweigh the hoisted matmuls).  Kept fully tested
+            # for configs with much wider mails relative to N.
+            gru_table = False
         self.gru_table = bool(gru_table)
         self.tx = optimizer if optimizer is not None else optax.adam(lr)
         self.neg_ratio = int(neg_sample_ratio)
