@@ -394,10 +394,13 @@ class Trainer:
         GDELT scale N >> L and per-node work would dominate)."""
         if self.gru_table and memory.num_nodes <= 2 * mfg.num_all:
             return memory_lib.RawMemoryInput(state=memory)
-        if getattr(self.model, "compute_dtype", None) == "bfloat16":
+        if getattr(self.model, "compute_dtype", None) == "bfloat16" \
+                and 3 * memory.num_nodes <= mfg.num_all:
             # halves the per-instance row-gather bytes; timestamps stay
-            # bitcast-exact, values round to bf16 (which the compute
-            # casts do anyway)
+            # byte-exact, values round to bf16 (which the compute casts
+            # do anyway).  Gated on N: the bf16 node table is rebuilt
+            # every step (one O(N) cast pass), so it only pays when the
+            # table is small relative to the instance count.
             return memory_lib.prepare_input_bf16(memory, mfg)
         return memory_lib.prepare_input(memory, mfg)
 
