@@ -218,3 +218,60 @@ def test_build_graph_vs_pandas(undirected):
         exp_s = exp.sort_values(["time", "dst"]).reset_index(drop=True)
         np.testing.assert_array_equal(got_s["dst"].to_numpy(),
                                       exp_s["dst"].to_numpy())
+
+
+def test_sample_layer_with_multiple_blocks():
+    """Golden port of ``test_temporal_sampler.py:114-172``: two separate
+    ingests force region growth (the reference's multi-block chains);
+    recent sampling at ts=1.5 must pick each root's two most-recent
+    in-window edges with the reference's exact ids/ts/dt/eids."""
+    g = DynamicGraph(**GRAPH_KW)
+    src = np.array([0, 0, 0, 1, 1, 1, 2, 2, 2])
+    dst = np.array([1, 2, 3, 1, 2, 3, 1, 2, 3])
+    g.add_edges(src, dst, np.array([0.0, 1, 2, 0, 1, 2, 0, 1, 2]),
+                add_reverse=False)
+    g.add_edges(src, dst, np.array([3.0, 4, 5, 3, 4, 5, 3, 4, 5]),
+                add_reverse=False)
+
+    sampler = TemporalSampler(g, fanouts=[2], sample_strategy="recent")
+    mfgs = sampler.sample(np.array([0, 1, 2]),
+                          np.array([1.5, 1.5, 1.5]))
+    b = ref_block(mfgs[0][0])
+    assert b["ID"] == [0, 1, 2, 2, 1, 2, 1, 2, 1]
+    assert b["ts"] == [1.5, 1.5, 1.5, 1, 0, 1, 0, 1, 0]
+    assert b["dt"] == [0.5, 1.5, 0.5, 1.5, 0.5, 1.5]
+    assert b["eID"] == [1, 0, 4, 3, 7, 6]
+    assert b["num_src"] == 9
+    assert b["num_dst"] == 3
+    assert b["row"] == [3, 4, 5, 6, 7, 8]
+    assert b["col"] == [0, 0, 1, 1, 2, 2]
+
+
+def test_sample_layer_with_different_batch_size():
+    """Port of ``test_temporal_sampler.py:660-682``: every batch size
+    (including 0) samples without error and matches a brute-force
+    recent-neighbor oracle."""
+    g = DynamicGraph(**GRAPH_KW)
+    src = np.array([0, 0, 0, 1, 1, 1, 2, 2, 2])
+    dst = np.array([1, 2, 3, 1, 2, 3, 1, 2, 3])
+    ts = np.array([0.0, 1, 2, 0, 1, 2, 0, 1, 2])
+    g.add_edges(src, dst, ts, add_reverse=False)
+    sampler = TemporalSampler(g, fanouts=[2], sample_strategy="recent")
+    rng = np.random.RandomState(0)
+    for bs in range(0, 100, 10):
+        roots = rng.randint(0, 3, bs)
+        rts = rng.randint(0, 3, bs).astype(np.float32)
+        mfgs = sampler.sample(roots, rts)
+        m = mfgs[0][0]
+        assert m.num_dst == bs and m.fanout == 2
+        nbr = np.asarray(m.nbr_nids)
+        nts = np.asarray(m.nbr_ts)
+        mask = np.asarray(m.nbr_mask)
+        for i in range(bs):
+            # oracle: most-recent edges of roots[i] strictly before rts[i]
+            cand = [(t, d) for s, d, t in zip(src, dst, ts)
+                    if s == roots[i] and t < rts[i]]
+            cand.sort(key=lambda x: -x[0])
+            want = cand[:2]
+            got = [(nts[i, k], nbr[i, k]) for k in range(2) if mask[i, k]]
+            assert got == want, (i, got, want)
