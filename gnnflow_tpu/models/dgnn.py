@@ -113,7 +113,8 @@ class DGNN(nn.Module):
                  edge_feats: List[List[Optional[jax.Array]]],
                  mem_input: Optional[Dict[str, jax.Array]] = None,
                  train: bool = False,
-                 return_embed: bool = False):
+                 return_embed: bool = False,
+                 expansions=None):
         """Forward pass.
 
         Args:
@@ -124,6 +125,10 @@ class DGNN(nn.Module):
             edge_feats: ``edge_feats[l][h]`` = [B, F, dim_edge] for
                 ``mfgs[l][h]`` (None when ``dim_edge == 0``).
             mem_input: pulled memory rows for the innermost MFG (TGN only).
+            expansions: model-compaction specs from
+                :func:`~gnnflow_tpu.ops.sampling.sample_hops_model_compact`
+                — ``expansions[l]`` expands layer ``l``'s root embeddings
+                into layer ``l+1``'s ``h_all`` layout (None entries skip).
 
         Returns:
             ``(pos_logits, neg_logits, last_updated)`` or
@@ -143,6 +148,12 @@ class DGNN(nn.Module):
                 rst = self.layers[f"l{l}h{h}"](
                     mfgs[l][h], h_in[h], edge_feats[l][h], train=train)
                 if l != self.num_layers - 1:
+                    if expansions is not None and \
+                            expansions[l] is not None:
+                        from gnnflow_tpu.ops.segment_pallas import \
+                            expand_blocks
+                        rank, cap, fo = expansions[l]
+                        rst = expand_blocks(rst, rank[h], cap, fo)
                     next_h.append(rst)
                 else:
                     out.append(rst)

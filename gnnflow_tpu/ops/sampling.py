@@ -652,6 +652,57 @@ def _sample_layer_compacted(
     return lax.cond(jnp.any(total > cap), full_path, compact_path)
 
 
+def boundary_overflow(prev_mfgs: List[MFG], cap: int) -> jax.Array:
+    """Traced bool: does any snapshot of ``prev_mfgs`` have more valid
+    neighbor blocks than ``cap``?  Computable from the parent layer's
+    masks alone — BEFORE any deeper sampling — so the model-compaction
+    cond wastes no work when it falls back."""
+    bv = jnp.stack([m.nbr_mask.any(axis=1) for m in prev_mfgs])
+    return jnp.any(jnp.sum(bv.astype(jnp.int32), axis=1) > cap)
+
+
+def sample_deeper_compact(
+        g: DeviceGraph, prev_mfgs: List[MFG], cap: int, *,
+        fanout: int, strategy: str, num_snapshots: int, window: float,
+        prop_time: bool, search_iters: int, key: jax.Array | None):
+    """Sample one deeper layer over the COMPACT root set, keeping the
+    result compact for the model (the full-pipeline analogue of the
+    reference feeding *compacted* ``all_nodes`` to the next layer,
+    ``temporal_sampler.cu:279-305``).
+
+    Valid F-wide neighbor blocks of each snapshot pack into a ``cap``-
+    block prefix; the returned MFGs have ``num_dst = B + cap*F``.  The
+    caller expands the layer's output EMBEDDINGS via
+    ``ops/segment_pallas.expand_blocks`` with the returned ``rank``
+    [S, B].  Only exact when :func:`boundary_overflow` is False.
+    """
+    S = len(prev_mfgs)
+    prev = prev_mfgs
+    B1 = prev[0].num_dst
+    F = prev[0].fanout
+    bv = jnp.stack([m.nbr_mask.any(axis=1) for m in prev])
+    csum = jnp.cumsum(bv.astype(jnp.int32), axis=1)           # [S, B1]
+    blk = _nth_valid_block(csum, cap)                         # [S, cap]
+    nbr_n = jnp.stack([m.nbr_nids for m in prev])
+    nbr_t = jnp.stack([m.nbr_ts for m in prev])
+    gn = jnp.concatenate(
+        [nbr_n, jnp.full((S, 1, F), INVALID_NID, nbr_n.dtype)], 1)
+    gt = jnp.concatenate(
+        [nbr_t, jnp.zeros((S, 1, F), nbr_t.dtype)], 1)
+    cn = jnp.take_along_axis(gn, blk[:, :, None], axis=1)
+    ct = jnp.take_along_axis(gt, blk[:, :, None], axis=1)
+    roots_S = jnp.stack([m.root_nids for m in prev])
+    rts_S = jnp.stack([m.root_ts for m in prev])
+    Rc = jnp.concatenate([roots_S, cn.reshape(S, cap * F)], axis=1)
+    Tc = jnp.concatenate([rts_S, ct.reshape(S, cap * F)], axis=1)
+    mc = sample_layer_snapshots(
+        g, Rc, Tc, fanout=fanout, strategy=strategy,
+        num_snapshots=num_snapshots, window=window,
+        prop_time=prop_time, search_iters=search_iters, key=key)
+    rank = jnp.where(bv, csum - 1, cap)                       # [S, B1]
+    return mc, rank
+
+
 def sample_hops(g: DeviceGraph, roots: jax.Array, root_ts: jax.Array,
                 *, fanouts: Sequence[int], strategy: str = "recent",
                 num_snapshots: int = 1, window: float = 0.0,

@@ -131,7 +131,7 @@ class Trainer:
                  is_static=False, lr=1e-4, optimizer=None,
                  neg_sample_ratio=1, memory_storage="float32",
                  compact_factor="auto", dedup_factor="auto",
-                 gru_table="auto"):
+                 gru_table="auto", model_compact="auto"):
         self.model = model
         self.fanouts = tuple(int(f) for f in fanouts)
         self.strategy = sample_strategy
@@ -166,6 +166,17 @@ class Trainer:
             raise ValueError("dedup_factor requires the GRU updater "
                              "(the APAN transformer updater uses per-"
                              "instance dropout)")
+        if model_compact == "auto":
+            # keep deeper-layer MFGs compact through feats + attention
+            # for windowed multi-snapshot multi-layer models (DySAT
+            # family): the padded design otherwise pays full feature-
+            # gather + attention cost for mostly-empty snapshot windows.
+            # Exact up to dropout-draw assignment (overflow falls back
+            # to the padded path via a step-level lax.cond).
+            model_compact = (self.num_snapshots > 1 and self.window > 0
+                             and len(self.fanouts) == 2
+                             and not model.use_memory)
+        self.model_compact = bool(model_compact)
         if gru_table == "auto":
             # Opt-in.  The per-node gate pre-projection
             # (ops/gru_gather.py) hoists the GRU's node-dependent
@@ -364,14 +375,18 @@ class Trainer:
         return min(cap * 256, num_all)
 
     def _run_model(self, state, mfgs, efs, kdrop, valid, train,
-                   mem_input, nfs):
+                   mem_input, nfs, expansions=None):
         """Model fwd (+bwd when training) for a given memory-input/node-
         feature representation.  Returns ``(loss, pos, neg, last, grads)``
         (``grads`` None in eval)."""
+        # static models (SAGE/GAT) don't take the expansions kwarg
+        extra = {"expansions": expansions} if expansions is not None \
+            else {}
+
         def loss_fn(params):
             pos, neg, last = self.model.apply(
                 {"params": params}, mfgs, nfs, efs, mem_input,
-                train=train, rngs={"dropout": kdrop})
+                train=train, rngs={"dropout": kdrop}, **extra)
             loss = link_pred_loss(pos, neg, valid, self.neg_ratio)
             return loss, (pos, neg, last)
 
@@ -447,6 +462,64 @@ class Trainer:
 
         return jax.lax.cond(n_uniq <= cap, fast, full, None)
 
+    def _model_compact_outputs(self, state, dg, roots, sample_ts,
+                               ksample, kdrop, valid, train,
+                               node_feats, edge_feats):
+        """Windowed multi-snapshot (2-layer) fast path: the deeper layer
+        stays compact through feature gathers and attention; embeddings
+        expand at the layer boundary (``expand_blocks``).  The overflow
+        decision (more valid neighbor blocks than the static cap) is
+        computable from layer 0's masks alone, so BOTH branches of the
+        step-level ``lax.cond`` share layer 0's sampling and neither
+        wastes deeper work."""
+        from gnnflow_tpu.ops.sampling import (boundary_overflow,
+                                              sample_deeper_compact,
+                                              sample_layer_snapshots)
+        dn = getattr(self.model, "dim_node", 0)
+        de = getattr(self.model, "dim_edge", 0)
+        factor = self.compact_factor if isinstance(
+            self.compact_factor, float) else 0.25
+        S = self.num_snapshots
+        kw = dict(strategy=self.strategy, num_snapshots=S,
+                  window=self.window, prop_time=self.prop_time,
+                  search_iters=self._iters(dg))
+        k0 = (jax.random.fold_in(ksample, 0)
+              if ksample is not None else None)
+        k1 = (jax.random.fold_in(ksample, 1)
+              if ksample is not None else None)
+        R = jnp.stack([roots] * S)
+        T = jnp.stack([sample_ts] * S)
+        mfgs0 = sample_layer_snapshots(
+            dg, R, T, fanout=self.fanouts[0], shared_roots=True,
+            key=k0, **kw)
+        B1 = mfgs0[0].num_dst
+        F0 = mfgs0[0].fanout
+        cap = min(B1, max(1, math.ceil(factor * B1)))
+        overflow = boundary_overflow(mfgs0, cap)
+
+        def fast(_):
+            inner, rank = sample_deeper_compact(
+                dg, mfgs0, cap, fanout=self.fanouts[1], key=k1, **kw)
+            cm = [inner, mfgs0]
+            nfs, efs = fetch_features(cm, node_feats, edge_feats,
+                                      dn or None, de or None)
+            return self._run_model(
+                state, cm, efs, kdrop, valid, train, None, nfs,
+                expansions=[(rank, cap, F0), None])
+
+        def full(_):
+            Rf = jnp.stack([m.all_nodes() for m in mfgs0])
+            Tf = jnp.stack([m.all_ts() for m in mfgs0])
+            inner = sample_layer_snapshots(
+                dg, Rf, Tf, fanout=self.fanouts[1], key=k1, **kw)
+            mfgs = [inner, mfgs0]
+            nfs, efs = fetch_features(mfgs, node_feats, edge_feats,
+                                      dn or None, de or None)
+            return self._run_model(state, mfgs, efs, kdrop, valid,
+                                   train, None, nfs)
+
+        return jax.lax.cond(~overflow, fast, full, None)
+
     def _step(self, state: TrainState, dg: DeviceGraph,
               node_feats, edge_feats,
               target_nodes, ts, eids, valid, train: bool):
@@ -455,10 +528,16 @@ class Trainer:
         key, kdrop, ksample = jax.random.split(state.key, 3)
         sample_ts = (jnp.full_like(ts, np.float32(3.4e38))
                      if self.is_static else ts)
-        mfgs = self._sample(dg, target_nodes.astype(jnp.int32), sample_ts,
-                            ksample)
-        loss, pos, neg, last, grads = self._model_outputs(
-            state, mfgs, kdrop, valid, train, node_feats, edge_feats)
+        roots32 = target_nodes.astype(jnp.int32)
+        if self.model_compact and type(self) is Trainer:
+            loss, pos, neg, last, grads = self._model_compact_outputs(
+                state, dg, roots32, sample_ts, ksample, kdrop, valid,
+                train, node_feats, edge_feats)
+        else:
+            mfgs = self._sample(dg, roots32, sample_ts, ksample)
+            loss, pos, neg, last, grads = self._model_outputs(
+                state, mfgs, kdrop, valid, train, node_feats,
+                edge_feats)
 
         if train:
             updates, opt_state = self.tx.update(
