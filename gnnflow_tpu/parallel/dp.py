@@ -32,8 +32,11 @@ def shard_trainer(trainer: Trainer, mesh: Mesh,
                     batch_sharding, batch_sharding, batch_sharding,
                     batch_sharding)
     # the (nid, ts) GRU dedup sorts the full instance axis — under GSPMD
-    # that would all-gather the batch-sharded MFGs; keep DP per-instance
+    # that would all-gather the batch-sharded MFGs; keep DP per-instance.
+    # Model-level compaction's block packing (cumsum over the batch axis)
+    # is likewise untested under sharding — keep DP on the padded path.
     trainer.dedup_factor = None
+    trainer.model_compact = False
     trainer._train_step = jax.jit(
         trainer._step, static_argnums=(8,),
         donate_argnums=(0,),
