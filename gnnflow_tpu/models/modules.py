@@ -325,7 +325,13 @@ class TemporalAttentionLayer(nn.Module):
         else:
             Q = h_dst  # identity (layers.py:76-79)
         # fused K/V projection (one kernel for K and V) computed as a sum
-        # of per-part matmuls — the wide [*, h|e|t] concat never hits HBM
+        # of per-part matmuls — the wide [*, h|e|t] concat never hits HBM.
+        # NB: keep the batched [B, F, *] operand form.  Flattening the
+        # parts to [B*F, *] 2-D matmuls looks like it should skip the
+        # {0,2,1} relayout copies visible in profiles, but measured
+        # MUCH worse on v5e (TGAT 58->87 ms, TGN 9.3->11.4, APAN
+        # 59->79): XLA's layout assignment for the batched form is the
+        # better global choice.
         KV = MultiLinear(2 * self.dim_out, name="w_kv",
                          dtype=self.dtype)([h_src, ef, tf])
         K, V = KV[..., : self.dim_out], KV[..., self.dim_out:]
