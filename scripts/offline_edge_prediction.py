@@ -198,7 +198,12 @@ def main():
         logging.info("cache mem size: %.2f MB",
                      cache.get_mem_size() / 1e6)
 
-    if args.calibrate:
+    # windowed multi-snapshot configs always calibrate: the static
+    # compaction caps depend on measured window occupancy, and the
+    # selection is exact either way (cond fallbacks)
+    auto_cal = (model_config.get("num_snapshots", 1) > 1
+                and model_config.get("snapshot_time_window", 0) > 0)
+    if args.calibrate or auto_cal:
         cal_neg = DstRandEdgeSampler(train_data.dst, seed=args.seed)
         cal = trainer.calibrate(
             dg, list(get_batches(train_data, batch_size,
