@@ -262,3 +262,65 @@ def test_partitioned_trainer_matches_single_device():
         if i >= 3:
             break
     np.testing.assert_allclose(l1s, l2s, rtol=5e-4)
+
+
+def test_partitioned_trainer_multisnapshot_matches_single_device():
+    """DySAT-style (windowed multi-snapshot, 2-layer, no memory) through
+    the fully-partitioned trainer must match the single-store trainer —
+    the partitioned path has no model-compaction (padded everywhere), so
+    recent sampling makes the comparison deterministic."""
+    from gnnflow_tpu.data import DstRandEdgeSampler, get_batches
+    from gnnflow_tpu.models.dgnn import DGNN
+    from gnnflow_tpu.parallel.partitioned_trainer import PartitionedTrainer
+    from gnnflow_tpu.parallel import ShardedTable
+    from gnnflow_tpu.train import Trainer
+
+    full, nf, ef = _dataset(num_edges=2000, seed=9)
+    mesh = make_mesh(8)
+    src = np.concatenate([full.src, full.dst])
+    dst = np.concatenate([full.dst, full.src])
+    ts2 = np.concatenate([full.time, full.time])
+    eid2 = np.concatenate([full.eid, full.eid])
+
+    def model():
+        return DGNN(dim_node=0, dim_edge=8, dim_time=8, dim_embed=16,
+                    num_layers=2, num_snapshots=2, att_head=2,
+                    dropout=0.0, att_dropout=0.0, use_memory=False)
+
+    kw = dict(fanouts=[4, 3], sample_strategy="recent", num_snapshots=2,
+              snapshot_time_window=2.0, prop_time=True, lr=1e-3)
+    B = 160
+    train = full[: int(0.7 * len(full))]
+
+    g = DynamicGraph(**GRAPH_KW)
+    g.add_edges(src, dst, ts2, eid2)
+    # single-device trainer WITHOUT model compaction for an apples
+    # comparison (the partitioned path is padded)
+    t1 = Trainer(model(), model_compact=False, **kw)
+    efj = jnp.asarray(ef)
+    s1 = t1.init_state(jax.random.PRNGKey(0), g.device_graph(), B, None,
+                       efj, num_nodes=g.max_vertex_id() + 1)
+
+    part = get_partitioner("hash", 8)
+    pg = PartitionedDynamicGraph(8, mesh=mesh, **GRAPH_KW)
+    parts, _ = part.partition(src, dst, ts2, eid2)
+    pg.add_partitioned_edges(parts)
+    pg.set_partition_table(part.get_partition_table())
+    t2 = PartitionedTrainer(model(), mesh, **kw)
+    efp = ShardedTable(ef, mesh).array
+    s2 = t2.init_state(jax.random.PRNGKey(0), pg.device_graph(), B, None,
+                       efp, num_nodes=pg.max_vertex_id() + 1)
+
+    neg1 = DstRandEdgeSampler(full.dst, seed=1)
+    neg2 = DstRandEdgeSampler(full.dst, seed=1)
+    l1s, l2s = [], []
+    for i, (b1, b2) in enumerate(zip(get_batches(train, B, neg1),
+                                     get_batches(train, B, neg2))):
+        s1, l1, _, _ = t1.train_step(s1, g.device_graph(), None, efj, b1)
+        s2, l2, _, _ = t2.train_step(s2, pg.device_graph(), None, efp,
+                                     b2)
+        l1s.append(float(l1))
+        l2s.append(float(l2))
+        if i >= 3:
+            break
+    np.testing.assert_allclose(l1s, l2s, rtol=5e-4)
