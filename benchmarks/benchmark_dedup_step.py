@@ -73,26 +73,26 @@ def main():
                      compute_dtype="bfloat16")
         trainer = Trainer(model, fanouts=[10], sample_strategy="recent",
                           lr=1e-4, dedup_factor=dedup_factor)
-        if skip_cond:
-            # bypass the overflow cond: always take the fast branch
-            import jax.lax as lax
-            orig_cond = jax.lax.cond
-            jax.lax.cond = lambda p, t, f, *op: t(*op)
-        state = trainer.init_state(jax.random.PRNGKey(0), dg, B, None, ef,
-                                   num_nodes=g.max_vertex_id() + 1)
-        step = trainer._train_step
-        tn, ts, eids = batches[0]
-        s = step(state, dg, None, ef, tn, ts, eids, valid, train)
-        _ = float(s[1])  # compile + settle
-        state = s[0]
-        t0 = time.perf_counter()
-        for i in range(args.repeats):
-            btn, bts, beids = batches[i % n_cycle]
-            state, loss, _, _ = step(state, dg, None, ef, btn, bts,
-                                     beids, valid, train)
-        lv = float(loss)
-        dt = (time.perf_counter() - t0) / args.repeats * 1e3
-        if skip_cond:
+        orig_cond = jax.lax.cond
+        try:
+            if skip_cond:
+                # bypass the overflow cond: always take the fast branch
+                jax.lax.cond = lambda p, t, f, *op: t(*op)
+            state = trainer.init_state(jax.random.PRNGKey(0), dg, B, None,
+                                       ef, num_nodes=g.max_vertex_id() + 1)
+            step = trainer._train_step
+            tn, ts, eids = batches[0]
+            s = step(state, dg, None, ef, tn, ts, eids, valid, train)
+            _ = float(s[1])  # compile + settle
+            state = s[0]
+            t0 = time.perf_counter()
+            for i in range(args.repeats):
+                btn, bts, beids = batches[i % n_cycle]
+                state, loss, _, _ = step(state, dg, None, ef, btn, bts,
+                                         beids, valid, train)
+            lv = float(loss)
+            dt = (time.perf_counter() - t0) / args.repeats * 1e3
+        finally:
             jax.lax.cond = orig_cond
         print(f"{name:28s} {dt:7.3f} ms/step   loss {lv:.4f}", flush=True)
         return dt

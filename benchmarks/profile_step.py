@@ -20,6 +20,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 parser = argparse.ArgumentParser()
+parser.add_argument("--model", default="TGN",
+                    help="registry model name (TGN/TGAT/DySAT/APAN/...)")
 parser.add_argument("--batch", type=int, default=4000)
 parser.add_argument("--steps", type=int, default=8)
 parser.add_argument("--out", default="/tmp/gnnflow_trace")
@@ -40,16 +42,18 @@ def capture():
         os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
+    from gnnflow_tpu.config import get_default_config
     from gnnflow_tpu.data import (DstRandEdgeSampler, get_batches,
                                   make_synthetic_dataset)
     from gnnflow_tpu.dynamic_graph import DynamicGraph
-    from gnnflow_tpu.models.dgnn import DGNN
+    from gnnflow_tpu.models.factory import build_model
     from gnnflow_tpu.train import Trainer, pad_feature_table
 
     num_src, num_dst, num_edges, dim_edge = 10_000, 984, 672_447, 172
-    train, _, _, full, _, ef_np = make_synthetic_dataset(
+    dim_node = 128
+    train, _, _, full, nf_np, ef_np = make_synthetic_dataset(
         num_src=num_src, num_dst=num_dst, num_edges=num_edges,
-        dim_edge=dim_edge, seed=42, time_scale=4.0)
+        dim_node=dim_node, dim_edge=dim_edge, seed=42, time_scale=4.0)
     g = DynamicGraph(initial_pool_size=1 << 20,
                      maximum_pool_size=1 << 23, mem_resource_type="hbm",
                      minimum_block_size=62, insertion_policy="insert")
@@ -58,13 +62,15 @@ def capture():
     ef = pad_feature_table(ef_np)
     dg = g.device_graph()
     B = args.batch
-    model = DGNN(dim_node=0, dim_edge=dim_edge, dim_time=100,
-                 dim_embed=100, num_layers=1, num_snapshots=1,
-                 att_head=2, dropout=0.2, att_dropout=0.2,
-                 use_memory=True, dim_memory=100,
-                 compute_dtype="bfloat16")
-    tr = Trainer(model, fanouts=[10], sample_strategy="recent", lr=1e-4)
-    state = tr.init_state(jax.random.PRNGKey(0), dg, B, None, ef,
+    mc, _ = get_default_config(args.model, "REDDIT")
+    mc["compute_dtype"] = "bfloat16"
+    static = args.model.lower() in ("graphsage", "gat")
+    model, skw = build_model(args.model, mc,
+                             dim_node=dim_node if static else 0,
+                             dim_edge=dim_edge)
+    tr = Trainer(model, lr=1e-4, **skw)
+    nf = pad_feature_table(nf_np) if static else None
+    state = tr.init_state(jax.random.PRNGKey(0), dg, B, nf, ef,
                           num_nodes=g.max_vertex_id() + 1)
     neg = DstRandEdgeSampler(train.dst, seed=1)
     batches = []
@@ -76,13 +82,13 @@ def capture():
                         jnp.asarray(b.eids, jnp.int32)))
     valid = jnp.ones((B,), bool)
     tn, ts, eids = batches[0]
-    s = tr._train_step(state, dg, None, ef, tn, ts, eids, valid, True)
+    s = tr._train_step(state, dg, nf, ef, tn, ts, eids, valid, True)
     _ = float(s[1])   # compile + settle (value fetch, not block_until_ready)
     state = s[0]
     with jax.profiler.trace(args.out):
         for btn, bts, beids in batches:
             state, loss, _, _ = tr._train_step(
-                state, dg, None, ef, btn, bts, beids, valid, True)
+                state, dg, nf, ef, btn, bts, beids, valid, True)
         _ = float(loss)
 
 

@@ -188,6 +188,15 @@ class Trainer:
             # for configs with much wider mails relative to N.
             gru_table = False
         self.gru_table = bool(gru_table)
+        if self.gru_table and (
+                not model.use_memory
+                or getattr(model, "memory_updater", "gru") != "gru"
+                or getattr(model, "mailbox_slots", 1) != 1):
+            raise ValueError(
+                "gru_table requires use_memory with the GRU updater and "
+                "a single-slot mailbox (the per-node gate pre-projection "
+                "is GRU math; APAN's transformer updater and multi-slot "
+                "mailboxes have no table form)")
         self.tx = optimizer if optimizer is not None else optax.adam(lr)
         self.neg_ratio = int(neg_sample_ratio)
         self.memory_storage = str(memory_storage)
@@ -407,7 +416,8 @@ class Trainer:
         it only pays off when the node table is small relative to the
         instance count (N << L it is ~60x redundancy at REDDIT scale; at
         GDELT scale N >> L and per-node work would dominate)."""
-        if self.gru_table and memory.num_nodes <= 2 * mfg.num_all:
+        if self.gru_table and memory.mailbox_slots == 1 \
+                and memory.num_nodes <= 2 * mfg.num_all:
             return memory_lib.RawMemoryInput(state=memory)
         if getattr(self.model, "compute_dtype", None) == "bfloat16" \
                 and 3 * memory.num_nodes <= mfg.num_all:
@@ -477,8 +487,7 @@ class Trainer:
                                               sample_layer_snapshots)
         dn = getattr(self.model, "dim_node", 0)
         de = getattr(self.model, "dim_edge", 0)
-        factor = self.compact_factor if isinstance(
-            self.compact_factor, float) else 0.25
+        factor = float(self.compact_factor)   # _step guards against None
         S = self.num_snapshots
         kw = dict(strategy=self.strategy, num_snapshots=S,
                   window=self.window, prop_time=self.prop_time,
@@ -529,7 +538,12 @@ class Trainer:
         sample_ts = (jnp.full_like(ts, np.float32(3.4e38))
                      if self.is_static else ts)
         roots32 = target_nodes.astype(jnp.int32)
-        if self.model_compact and type(self) is Trainer:
+        # model_compact needs a concrete factor: calibrate() sets
+        # compact_factor=None at high occupancy to DISABLE compaction —
+        # honoring that here keeps the padded path single-branch instead
+        # of compiling a compact branch that overflows every step.
+        if self.model_compact and self.compact_factor is not None \
+                and type(self) is Trainer:
             loss, pos, neg, last, grads = self._model_compact_outputs(
                 state, dg, roots32, sample_ts, ksample, kdrop, valid,
                 train, node_feats, edge_feats)
