@@ -311,7 +311,8 @@ def sample_layer_routed(
         snapshot_idx: int = 0, num_snapshots: int = 1, window: float = 0.0,
         prop_time: bool = False, search_iters: int = 32,
         key: Optional[jax.Array] = None,
-        capacity_factor: float = 4.0) -> MFG:
+        capacity_factor: float = 4.0,
+        overflow_fallback: bool = True) -> MFG:
     """Owner-routed distributed layer sample — the scalable path.
 
     The psum-merge path (:func:`sample_layer_partitioned`) replicates all
@@ -333,12 +334,17 @@ def sample_layer_routed(
        dst order exactly (the ``_merge_sampling_results`` analogue,
        ``dist_sampler.py:244-314``).
 
-    Roots overflowing a bucket (> cap with a badly skewed partition
-    table) yield fully-masked rows — same degradation as the reference's
-    unpartitioned(-1) vertices (``dist_sampler.py:222-236``).  With
-    hash/round-robin partitioning and capacity_factor ≥ 2 overflow does
-    not occur in practice; ``routed_overflow_check`` verifies a batch
-    host-side.
+    **Skew guard** (``overflow_fallback=True``, default): when any root
+    would overflow its destination bucket (a skewed partition table, e.g.
+    from the least-loaded/Fennel partitioners), a replicated psum-merge
+    pass handles the WHOLE layer instead — an in-jit ``lax.cond`` whose
+    predicate is the psum'd overflow flag, so no root is ever dropped
+    (matching the reference, whose RPC path has no capacity limit,
+    ``dist_sampler.py:159-242``).  The fallback costs O(B·F) per device
+    for that layer only; :func:`routed_load_stats` reports the host-side
+    fallback rate.  With ``overflow_fallback=False`` overflowing roots
+    yield fully-masked rows — same degradation as the reference's
+    unpartitioned(-1) vertices (``dist_sampler.py:222-236``).
 
     Returns a **batch-sharded** MFG (fields sharded over ``DATA_AXIS``).
     """
@@ -352,6 +358,10 @@ def sample_layer_routed(
     b = B // nparts
     cap = _bucket_capacity(b, nparts, capacity_factor)
     inval_nid = jnp.int32(INVALID_NID)
+    sample_kw = dict(fanout=fanout, strategy=strategy,
+                     snapshot_idx=snapshot_idx,
+                     num_snapshots=num_snapshots, window=window,
+                     prop_time=prop_time, search_iters=search_iters)
 
     def local(row_off, row_len, e_dst, e_ts, e_eid, pt, roots, root_ts,
               key):
@@ -369,50 +379,90 @@ def sample_layer_routed(
                                             axis=0) - 1, 0),
                        axis=1).astype(jnp.int32)                # [b]
         dropped = (owner < 0) | (slot >= cap)
-        o_idx = jnp.where(owner < 0, nparts, owner)   # OOB -> dropped
-        s_idx = jnp.where(slot >= cap, cap, slot)
-
-        send_roots = jnp.full((nparts, cap), inval_nid, NID_DTYPE) \
-            .at[o_idx, s_idx].set(roots, mode="drop")
-        send_ts = jnp.zeros((nparts, cap), TS_DTYPE) \
-            .at[o_idx, s_idx].set(root_ts, mode="drop")
-
-        recv_roots = jax.lax.all_to_all(send_roots, DATA_AXIS, 0, 0)
-        recv_ts = jax.lax.all_to_all(send_ts, DATA_AXIS, 0, 0)
-
         k = (jax.random.fold_in(key, pid) if key is not None else None)
-        mfg = sampling_lib.sample_layer(
-            g, recv_roots.reshape(-1), recv_ts.reshape(-1),
-            fanout=fanout, strategy=strategy, snapshot_idx=snapshot_idx,
-            num_snapshots=num_snapshots, window=window,
-            prop_time=prop_time, search_iters=search_iters, key=k)
 
-        def back(x):
-            x = x.reshape(nparts, cap, fanout)
-            return jax.lax.all_to_all(x, DATA_AXIS, 0, 0) \
-                .reshape(nparts * cap, fanout)
+        def routed(_):
+            o_idx = jnp.where(owner < 0, nparts, owner)  # OOB -> dropped
+            s_idx = jnp.where(slot >= cap, cap, slot)
 
-        r_nids = back(mfg.nbr_nids)
-        r_ts = back(mfg.nbr_ts)
-        r_dts = back(mfg.nbr_dts)
-        r_eids = back(mfg.nbr_eids)
-        r_mask = back(mfg.nbr_mask.astype(jnp.int8))
+            send_roots = jnp.full((nparts, cap), inval_nid, NID_DTYPE) \
+                .at[o_idx, s_idx].set(roots, mode="drop")
+            send_ts = jnp.zeros((nparts, cap), TS_DTYPE) \
+                .at[o_idx, s_idx].set(root_ts, mode="drop")
 
-        flat = jnp.clip(o_idx * cap + s_idx, 0, nparts * cap - 1)
+            recv_roots = jax.lax.all_to_all(send_roots, DATA_AXIS, 0, 0)
+            recv_ts = jax.lax.all_to_all(send_ts, DATA_AXIS, 0, 0)
 
-        def pick(x, fill):
-            out = x[flat]
-            return jnp.where(dropped[:, None], fill, out)
+            mfg = sampling_lib.sample_layer(
+                g, recv_roots.reshape(-1), recv_ts.reshape(-1), key=k,
+                **sample_kw)
 
-        mask = pick(r_mask, 0).astype(bool)
-        return MFG(
-            root_nids=roots, root_ts=root_ts,
-            nbr_nids=jnp.where(mask, pick(r_nids, inval_nid),
-                               inval_nid),
-            nbr_ts=jnp.where(mask, pick(r_ts, 0.0), 0.0),
-            nbr_dts=jnp.where(mask, pick(r_dts, 0.0), 0.0),
-            nbr_eids=jnp.where(mask, pick(r_eids, 0), 0),
-            nbr_mask=mask)
+            def back(x):
+                x = x.reshape(nparts, cap, fanout)
+                return jax.lax.all_to_all(x, DATA_AXIS, 0, 0) \
+                    .reshape(nparts * cap, fanout)
+
+            r_nids = back(mfg.nbr_nids)
+            r_ts = back(mfg.nbr_ts)
+            r_dts = back(mfg.nbr_dts)
+            r_eids = back(mfg.nbr_eids)
+            r_mask = back(mfg.nbr_mask.astype(jnp.int8))
+
+            flat = jnp.clip(o_idx * cap + s_idx, 0, nparts * cap - 1)
+
+            def pick(x, fill):
+                out = x[flat]
+                return jnp.where(dropped[:, None], fill, out)
+
+            mask = pick(r_mask, 0).astype(bool)
+            return (jnp.where(mask, pick(r_nids, inval_nid), inval_nid),
+                    jnp.where(mask, pick(r_ts, 0.0), 0.0),
+                    jnp.where(mask, pick(r_dts, 0.0), 0.0),
+                    jnp.where(mask, pick(r_eids, 0), 0),
+                    mask)
+
+        def replicated(_):
+            # skew fallback: all-gather the (small) root ids, sample all
+            # B roots against the local partition, psum-merge exactly as
+            # sample_layer_partitioned, keep only this device's shard.
+            all_roots = jax.lax.all_gather(roots, DATA_AXIS, tiled=True)
+            all_ts = jax.lax.all_gather(root_ts, DATA_AXIS, tiled=True)
+            mfg = _local_masked_sample(
+                g, (all_roots >= 0) &
+                   (pt[jnp.clip(all_roots, 0, pt.shape[0] - 1)] == pid),
+                all_roots, all_ts, key=k, **sample_kw)
+            nbr_nids = jax.lax.psum(
+                jnp.where(mfg.nbr_mask, mfg.nbr_nids + 1, 0),
+                DATA_AXIS) - 1
+            nbr_ts = jax.lax.psum(
+                jnp.where(mfg.nbr_mask, mfg.nbr_ts, 0.0), DATA_AXIS)
+            nbr_dts = jax.lax.psum(
+                jnp.where(mfg.nbr_mask, mfg.nbr_dts, 0.0), DATA_AXIS)
+            nbr_eids = jax.lax.psum(
+                jnp.where(mfg.nbr_mask, mfg.nbr_eids, 0), DATA_AXIS)
+            mask = jax.lax.psum(mfg.nbr_mask.astype(jnp.int32),
+                                DATA_AXIS) > 0
+            lo = pid * b
+
+            def shard(x):
+                return jax.lax.dynamic_slice_in_dim(x, lo, b, axis=0)
+
+            return (shard(jnp.where(mask, nbr_nids, inval_nid)),
+                    shard(nbr_ts), shard(nbr_dts),
+                    shard(jnp.where(mask, nbr_eids, 0)), shard(mask))
+
+        if overflow_fallback:
+            # predicate is psum'd -> identical on every device, so all
+            # devices take the same branch (collectives stay collective)
+            ovf = jax.lax.psum(
+                jnp.any((slot >= cap) & (owner >= 0)).astype(jnp.int32),
+                DATA_AXIS) > 0
+            nids, ts_, dts, eids, mask = jax.lax.cond(
+                ovf, replicated, routed, None)
+        else:
+            nids, ts_, dts, eids, mask = routed(None)
+        return MFG(root_nids=roots, root_ts=root_ts, nbr_nids=nids,
+                   nbr_ts=ts_, nbr_dts=dts, nbr_eids=eids, nbr_mask=mask)
 
     from jax import shard_map
     spec_g = P(DATA_AXIS)
@@ -435,7 +485,8 @@ def routed_overflow_check(partition_table: np.ndarray, roots: np.ndarray,
                           capacity_factor: float = 4.0) -> int:
     """Host-side audit: how many roots of this batch would overflow their
     destination bucket under :func:`sample_layer_routed`.  Returns the
-    overflow count (0 = routed sampling is exact for this batch)."""
+    overflow count (0 = routed sampling is exact for this batch; > 0 =
+    the in-jit skew guard takes the replicated fallback for the layer)."""
     roots = np.asarray(roots).reshape(num_partitions, -1)
     b = roots.shape[1]
     cap = _bucket_capacity(b, num_partitions, capacity_factor)
@@ -448,13 +499,62 @@ def routed_overflow_check(partition_table: np.ndarray, roots: np.ndarray,
     return overflow
 
 
+def auto_capacity_factor(partition_table: np.ndarray,
+                         num_partitions: int, *, safety: float = 1.5,
+                         minimum: float = 2.0) -> float:
+    """Pick ``capacity_factor`` from the partition table's histogram.
+
+    The routed win is P/capacity_factor, so the factor should be as
+    small as the skew allows: the expected bucket load for a uniform
+    draw of roots is ``b · p_max`` (p_max = the heaviest partition's
+    vertex share), hence ``factor = safety · P · p_max`` (= ``safety``
+    for balanced hash/round-robin tables).  Batches are NOT uniform
+    draws (temporal locality, hub-biased deeper layers), which is what
+    the in-jit replicated fallback of :func:`sample_layer_routed`
+    absorbs — so a modest ``safety`` is enough.  Clamped to
+    [minimum, P] (factor = P degenerates to replicated-cost buckets)."""
+    pt = np.asarray(partition_table)
+    counts = np.bincount(pt[pt >= 0], minlength=num_partitions)
+    total = counts.sum()
+    p_max = counts.max() / total if total else 1.0 / num_partitions
+    return float(min(num_partitions,
+                     max(minimum, safety * num_partitions * p_max)))
+
+
+def routed_load_stats(partition_table: np.ndarray, roots: np.ndarray,
+                      num_partitions: int,
+                      capacity_factor: float = 4.0) -> dict:
+    """Host-side sampling-load observability for one batch of roots.
+
+    The analogue of the reference's per-worker sampling-time CV metric
+    (``dist_sampler.py:108-127``, consumed at
+    ``offline_edge_prediction_multi_node_kvstore.py:453-460``): here the
+    per-owner routed root COUNT is the deterministic proxy for per-worker
+    sampling load (local sampling work is O(roots·fanout)).  Returns
+    ``{"counts": [P], "cv": float, "overflow": int, "fallback": bool}``
+    where ``fallback`` says whether the in-jit skew guard would take the
+    replicated path for this batch's first layer."""
+    pt = np.asarray(partition_table)
+    r = np.asarray(roots)
+    r = r[r >= 0]
+    owner = pt[np.clip(r, 0, len(pt) - 1)]
+    counts = np.bincount(owner[owner >= 0], minlength=num_partitions)
+    mean = counts.mean()
+    cv = float(counts.std() / mean) if mean > 0 else 0.0
+    overflow = routed_overflow_check(partition_table, roots,
+                                     num_partitions, capacity_factor)
+    return {"counts": counts, "cv": cv, "overflow": overflow,
+            "fallback": overflow > 0}
+
+
 def sample_hops_routed(
         pg: PartitionedDeviceGraph, mesh: Mesh, roots: jax.Array,
         root_ts: jax.Array, *, fanouts: Sequence[int],
         strategy: str = "recent", num_snapshots: int = 1,
         window: float = 0.0, prop_time: bool = False,
         search_iters: int = 32, key: Optional[jax.Array] = None,
-        capacity_factor: float = 4.0) -> List[List[MFG]]:
+        capacity_factor: float = 4.0,
+        overflow_fallback: bool = True) -> List[List[MFG]]:
     """Multi-layer multi-snapshot owner-routed sampling (see
     :func:`sample_layer_routed`).  Layer i+1 roots are layer i's
     ``all_nodes`` per snapshot, staying batch-sharded throughout."""
@@ -474,7 +574,8 @@ def sample_hops_routed(
                 snapshot_idx=snap, num_snapshots=num_snapshots,
                 window=window, prop_time=prop_time,
                 search_iters=search_iters, key=k,
-                capacity_factor=capacity_factor)
+                capacity_factor=capacity_factor,
+                overflow_fallback=overflow_fallback)
             layer_mfgs.append(mfg)
             nxt.append((mfg.all_nodes(), mfg.all_ts()))
         per_snap = nxt
@@ -525,7 +626,8 @@ class DistributedTemporalSampler:
                  num_snapshots: int = 1, snapshot_time_window: float = 0.0,
                  prop_time: bool = False, seed: int = 1234,
                  is_static: bool = False, mode: str = "routed",
-                 capacity_factor: float = 4.0, **kwargs):
+                 capacity_factor="auto", overflow_fallback: bool = True,
+                 **kwargs):
         if mode not in ("routed", "replicated"):
             raise ValueError(mode)
         self._pgraph = pgraph
@@ -538,7 +640,17 @@ class DistributedTemporalSampler:
         self._is_static = is_static
         self._key = jax.random.PRNGKey(seed)
         self._mode = mode
-        self._capacity_factor = float(capacity_factor)
+        self._capacity_factor = capacity_factor
+        self._overflow_fallback = bool(overflow_fallback)
+
+    @property
+    def capacity_factor(self) -> float:
+        """Resolved capacity factor (``"auto"`` reads the partition-table
+        histogram — see :func:`auto_capacity_factor`)."""
+        if self._capacity_factor == "auto":
+            self._capacity_factor = auto_capacity_factor(
+                self._pgraph._pt, self._pgraph.num_partitions)
+        return float(self._capacity_factor)
 
     def sample(self, target_vertices: np.ndarray,
                timestamps: np.ndarray) -> List[List[MFG]]:
@@ -562,7 +674,8 @@ class DistributedTemporalSampler:
                 fanouts=self._fanouts, strategy=self._strategy,
                 num_snapshots=self._num_snapshots, window=self._window,
                 prop_time=self._prop_time, search_iters=iters, key=key,
-                capacity_factor=self._capacity_factor)
+                capacity_factor=self.capacity_factor,
+                overflow_fallback=self._overflow_fallback)
         return sample_hops_partitioned(
             pg, self._mesh, roots, ts,
             fanouts=self._fanouts, strategy=self._strategy,

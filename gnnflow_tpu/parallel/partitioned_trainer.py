@@ -43,12 +43,18 @@ class PartitionedTrainer(Trainer):
     """
 
     def __init__(self, model, mesh: Mesh, sampling_mode: str = "routed",
-                 capacity_factor: float = 4.0, **kwargs):
+                 capacity_factor="auto", overflow_fallback: bool = True,
+                 **kwargs):
         if sampling_mode not in ("routed", "replicated"):
             raise ValueError(sampling_mode)
         self.mesh = mesh
         self.sampling_mode = sampling_mode
-        self.capacity_factor = float(capacity_factor)
+        # "auto" resolves from the partition-table histogram at
+        # init_state (auto_capacity_factor); must be a concrete float
+        # before the step traces.
+        self.capacity_factor = (capacity_factor if capacity_factor ==
+                                "auto" else float(capacity_factor))
+        self.overflow_fallback = bool(overflow_fallback)
         # the (nid, ts) GRU dedup sorts the full instance axis — under
         # GSPMD that would all-gather the batch-sharded MFGs; keep the
         # partitioned step per-instance unless explicitly requested
@@ -104,14 +110,34 @@ class PartitionedTrainer(Trainer):
         return self._train_step(state, dg, node_feats, edge_feats,
                                 *self._batch_arrays(batch), False)
 
+    def _resolve_capacity(self, dg) -> None:
+        """Resolve ``capacity_factor="auto"`` from the partition table
+        (host side, before the step traces — inside jit the table is a
+        tracer)."""
+        if self.capacity_factor == "auto":
+            from gnnflow_tpu.parallel.dist_graph import auto_capacity_factor
+            self.capacity_factor = auto_capacity_factor(
+                np.asarray(dg.partition_table), dg.num_partitions)
+
+    def init_state(self, key, dg, batch_size, node_feats, edge_feats,
+                   num_nodes):
+        self._resolve_capacity(dg)
+        return super().init_state(key, dg, batch_size, node_feats,
+                                  edge_feats, num_nodes)
+
     def _sample(self, dg, roots, ts, key):
         if self.sampling_mode == "routed":
+            if self.capacity_factor == "auto":
+                raise RuntimeError(
+                    "capacity_factor='auto' unresolved — call init_state "
+                    "(or _resolve_capacity) before the step traces")
             return sample_hops_routed(
                 dg, self.mesh, roots, ts, fanouts=self.fanouts,
                 strategy=self.strategy, num_snapshots=self.num_snapshots,
                 window=self.window, prop_time=self.prop_time,
                 search_iters=self._iters(dg), key=key,
-                capacity_factor=self.capacity_factor)
+                capacity_factor=self.capacity_factor,
+                overflow_fallback=self.overflow_fallback)
         return sample_hops_partitioned(
             dg, self.mesh, roots, ts, fanouts=self.fanouts,
             strategy=self.strategy, num_snapshots=self.num_snapshots,

@@ -157,15 +157,31 @@ def main():
             x, mesh, P()))
 
     import gnnflow_tpu.models.memory as memory_lib
+    from gnnflow_tpu.parallel import routed_load_stats
+    pt_host = np.asarray(pg._pt)
+    if args.sampling_mode == "routed":
+        logging.info("routed capacity_factor: %.2f",
+                     trainer.capacity_factor)
     for epoch in range(args.epoch):
         t0 = time.time()
         total = 0
+        cvs, overflow, fallbacks, nb = [], 0, 0, 0
         if epoch > 0 and state.memory is not None:
             state = state.replace(
                 memory=memory_lib.reset_memory(state.memory))
         last_loss = None
         for i, batch in enumerate(get_batches(train_data, batch_size,
                                               train_neg, rng=rng)):
+            if args.sampling_mode == "routed":
+                # per-owner routed-load observability (the reference's
+                # sampling-time CV analogue, dist_sampler.py:108-127);
+                # batches are process-identical so no all-gather needed
+                s = routed_load_stats(pt_host, batch.target_nodes,
+                                      n_dev, trainer.capacity_factor)
+                cvs.append(s["cv"])
+                overflow += s["overflow"]
+                fallbacks += int(s["fallback"])
+                nb += 1
             state, loss, _, _ = trainer.train_step(
                 state, dg, store.node_array, store.edge_array, batch)
             total += 3 * batch.num_valid
@@ -174,6 +190,12 @@ def main():
                 break
         last = float(to_host(last_loss))  # value fetch ends timing
         dt = time.time() - t0
+        if cvs:
+            logging.info(
+                "epoch %d sampling load: CV %.3f (max %.3f), overflow "
+                "roots %d, replicated-fallback batches %d/%d", epoch,
+                float(np.mean(cvs)), float(np.max(cvs)), overflow,
+                fallbacks, nb)
         scores, labels = [], []
         for i, batch in enumerate(get_batches(val_data, batch_size,
                                               val_neg)):

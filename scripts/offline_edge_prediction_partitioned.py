@@ -45,7 +45,9 @@ parser.add_argument("--sampling-mode", default="routed",
                     choices=["routed", "replicated"],
                     help="routed = owner-routed all-to-all (O(B/P) "
                          "per-device work); replicated = psum-merge")
-parser.add_argument("--capacity-factor", type=float, default=4.0)
+parser.add_argument("--capacity-factor", default="auto",
+                    help="routed bucket capacity factor; 'auto' derives "
+                         "it from the partition-table histogram")
 parser.add_argument("--ingestion-batch-size", type=int, default=100_000)
 parser.add_argument("--synthetic-edges", type=int, default=100_000)
 parser.add_argument("--platform", default=None,
@@ -122,9 +124,12 @@ def main():
     batch_size = model_config["batch_size"]
     batch_size -= batch_size % n_dev
     lr = args.lr * math.sqrt(n_dev)
+    cf = args.capacity_factor
+    if cf != "auto":
+        cf = float(cf)
     trainer = PartitionedTrainer(model, mesh, lr=lr,
                                  sampling_mode=args.sampling_mode,
-                                 capacity_factor=args.capacity_factor,
+                                 capacity_factor=cf,
                                  **sampler_kwargs)
 
     dg = pg.device_graph()
@@ -142,9 +147,17 @@ def main():
                     int(np.searchsorted(ext_roll, 2))]
 
     import gnnflow_tpu.models.memory as memory_lib
+    from gnnflow_tpu.parallel import routed_load_stats
+    pt_host = np.asarray(dg.partition_table)
+    if args.sampling_mode == "routed":
+        logging.info("routed capacity_factor: %.2f%s",
+                     trainer.capacity_factor,
+                     " (auto from partition histogram)"
+                     if args.capacity_factor == "auto" else "")
     for epoch in range(args.epoch):
         t0 = time.time()
         total = 0
+        cvs, overflow, fallbacks, nbatches = [], 0, 0, 0
         # reference protocol: reset TGN memory at each epoch start after
         # the first (offline_edge_prediction.py:355-363)
         if epoch > 0 and state.memory is not None:
@@ -152,11 +165,27 @@ def main():
                 memory=memory_lib.reset_memory(state.memory))
         for batch in get_batches(train_data, batch_size, train_neg,
                                  rng=rng):
+            if args.sampling_mode == "routed":
+                # sampling-load observability: per-owner routed root
+                # counts (the reference's per-worker sampling-time CV,
+                # dist_sampler.py:108-127) + skew-guard fallback audit
+                s = routed_load_stats(pt_host, batch.target_nodes,
+                                      n_dev, trainer.capacity_factor)
+                cvs.append(s["cv"])
+                overflow += s["overflow"]
+                fallbacks += int(s["fallback"])
+                nbatches += 1
             state, loss, _, _ = trainer.train_step(
                 state, dg, store.node_array, store.edge_array, batch)
             total += 3 * batch.num_valid
         jax.block_until_ready(state.params)
         dt = time.time() - t0
+        if cvs:
+            logging.info(
+                "epoch %d sampling load: CV %.3f (max %.3f), overflow "
+                "roots %d, replicated-fallback batches %d/%d", epoch,
+                float(np.mean(cvs)), float(np.max(cvs)), overflow,
+                fallbacks, nbatches)
         # validation
         scores, labels = [], []
         for batch in get_batches(val_data, batch_size, val_neg):

@@ -110,8 +110,9 @@ def test_routed_duplicate_and_invalid_roots():
 
 
 def test_routed_overflow_drops_gracefully():
-    """With a pathologically small capacity factor, overflowed roots lose
-    their rows (masked) but every in-capacity root is still exact."""
+    """With ``overflow_fallback=False`` and a pathologically small
+    capacity factor, overflowed roots lose their rows (masked) but every
+    in-capacity root is still exact."""
     full = _dataset()
     mesh = make_mesh(4)
     g, pg = _build_both(full, mesh)
@@ -124,7 +125,8 @@ def test_routed_overflow_drops_gracefully():
     pgv = pg.device_graph()
     mfgs = sample_hops_routed(pgv, mesh, jnp.asarray(roots, jnp.int32),
                               jnp.asarray(ts), fanouts=[4],
-                              search_iters=16, capacity_factor=1.0)
+                              search_iters=16, capacity_factor=1.0,
+                              overflow_fallback=False)
     m = mfgs[0][0]
     ms = single.sample(roots, ts)[0][0]
     mask = np.asarray(m.nbr_mask)
