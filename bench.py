@@ -1,4 +1,4 @@
-"""Headline benchmark: TGN training throughput on a REDDIT-scale stream.
+"""Headline benchmark: TGN training throughput + the full model matrix.
 
 Mirrors the reference's headline configuration (TGN: 1 layer, fanout [10],
 recent sampling, batch 4000, dims 100/100/172 — ``gnnflow/config.py:28-43``
@@ -14,21 +14,99 @@ The reference publishes no numbers (BASELINE.json ``published: {}``).
 ``vs_baseline`` is computed against 200,000 samples/s — the approximate
 single-A100 TGN/REDDIT training throughput of the TGL system the reference
 builds on (TGL paper reports ~10 s/epoch for REDDIT ≈ 670k edges × 3
-samples; GNNFlow's pipelined sampler is comparable).
+samples; GNNFlow's pipelined sampler is comparable).  That comparator is
+an ESTIMATE (``extra.baseline_estimated``); the absolute numbers
+(``ms_per_step``, bytes/step, latency/bandwidth floors) are the
+self-describing claims.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Besides the TGN headline, ``extra.models`` reports ms/step +
+samples/s for every model family at its reference config (TGAT 2-layer
+uniform, DySAT 2-layer 3-snapshot windowed, APAN mailbox, GraphSAGE
+static) at batch 4000, so a regression anywhere in the matrix shows up
+in ``BENCH_r{N}.json``.  Set ``BENCH_MODELS=0`` to skip the matrix (TGN
+headline only).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 200_000.0  # est. GNNFlow/TGL, TGN-REDDIT, 1xA100
 
+# v5e single-chip specs for the honesty floors
+HBM_BYTES_PER_SEC = 819e9       # v5e HBM bandwidth
+GATHER_NS_PER_ROW = 9.0         # measured v5e row-gather latency floor
+
+
+def _stage_batches(get_batches, train, batch_size, neg, jnp, limit=None):
+    staged = []
+    total = 0
+    for i, batch in enumerate(get_batches(train, batch_size, neg)):
+        if limit is not None and i >= limit:
+            break
+        valid = np.zeros(batch.batch_size, bool)
+        valid[: batch.num_valid] = True
+        staged.append((
+            jnp.asarray(batch.target_nodes, jnp.int32),
+            jnp.asarray(batch.ts, jnp.float32),
+            jnp.asarray(batch.eids, jnp.int32),
+            jnp.asarray(valid)))
+        total += 3 * batch.num_valid
+    return staged, total
+
+
+def run_model_matrix(jax, jnp, dg, g, full, train, nf, ef, dim_node,
+                     dim_edge, repeats=12):
+    """Per-dispatch ms/step for every non-headline model family at its
+    reference config, batch 4000 (the equal-batch hardware picture —
+    the reference's tiny TGAT/DySAT default batches under-utilize any
+    accelerator).  Mirrors ``benchmarks/benchmark_models.py``."""
+    from gnnflow_tpu.config import get_default_config
+    from gnnflow_tpu.data import DstRandEdgeSampler, get_batches
+    from gnnflow_tpu.models.factory import build_model
+    from gnnflow_tpu.train import Trainer
+
+    neg = DstRandEdgeSampler(train.dst, seed=1)
+    out = {}
+    B = 4000
+    for name in ("TGAT", "DySAT", "APAN", "GRAPHSAGE"):
+        try:
+            mc, _ = get_default_config(name, "REDDIT")
+            mc["compute_dtype"] = "bfloat16"
+            static = name.lower() in ("graphsage", "gat")
+            dn = dim_node if static else 0
+            model, skw = build_model(name, mc, dim_node=dn,
+                                     dim_edge=dim_edge)
+            trainer = Trainer(model, lr=1e-4, **skw)
+            nfd = nf if static else None
+            state = trainer.init_state(jax.random.PRNGKey(0), dg, B, nfd,
+                                       ef, num_nodes=g.max_vertex_id() + 1)
+            staged, _ = _stage_batches(get_batches, train, B, neg, jnp,
+                                       limit=8)
+            tn, ts, eids, valid = staged[0]
+            s = trainer._train_step(state, dg, nfd, ef, tn, ts, eids,
+                                    valid, True)
+            float(s[1])  # warmup ends with a value fetch
+            state = s[0]
+            t0 = time.perf_counter()
+            for i in range(repeats):
+                tn, ts, eids, valid = staged[i % len(staged)]
+                state, loss, _, _ = trainer._train_step(
+                    state, dg, nfd, ef, tn, ts, eids, valid, True)
+            float(loss)
+            dt = (time.perf_counter() - t0) / repeats
+            out[name] = {"ms_per_step": round(dt * 1e3, 2),
+                         "samples_per_sec": round(3 * B / dt),
+                         "batch": B}
+        except Exception as e:  # one model failing must not hide the rest
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    return out
+
 
 def main():
-    import os
-
     import jax
     import jax.numpy as jnp
 
@@ -49,11 +127,12 @@ def main():
     from gnnflow_tpu.train import Trainer, pad_feature_table
 
     # REDDIT-shaped synthetic stream (10,984 nodes; 672,447 edges; 172-dim
-    # edge features).
+    # edge features).  Static models (matrix) consume 128-dim node feats.
     num_src, num_dst, num_edges, dim_edge = 10_000, 984, 672_447, 172
-    train, val, test, full, _, ef_np = make_synthetic_dataset(
+    dim_node = 128
+    train, val, test, full, nf_np, ef_np = make_synthetic_dataset(
         num_src=num_src, num_dst=num_dst, num_edges=num_edges,
-        dim_edge=dim_edge, seed=42, time_scale=4.0)
+        dim_node=dim_node, dim_edge=dim_edge, seed=42, time_scale=4.0)
 
     g = DynamicGraph(initial_pool_size=1 << 20, maximum_pool_size=1 << 23,
                      mem_resource_type="hbm", minimum_block_size=62,
@@ -72,6 +151,7 @@ def main():
     # and the bf16 rows cost extra convert work downstream) — see
     # BASELINE.md negative results
     ef = pad_feature_table(ef_np)
+    nf = pad_feature_table(nf_np)
     dg = g.device_graph()  # 128-aligned rows: 2x faster gathers
 
     batch_size = 4000
@@ -90,27 +170,17 @@ def main():
     # Pre-stage the epoch's batches on device (negative sampling + padding
     # is host work independent of training; the reference hides it behind
     # DataLoader workers, we hide it by staging up front).
-    staged = []
-    for batch in get_batches(train, batch_size, neg):
-        valid = np.zeros(batch.batch_size, bool)
-        valid[: batch.num_valid] = True
-        staged.append((
-            jnp.asarray(batch.target_nodes, jnp.int32),
-            jnp.asarray(batch.ts, jnp.float32),
-            jnp.asarray(batch.eids, jnp.int32),
-            jnp.asarray(valid),
-            3 * batch.num_valid))
+    staged, total_samples = _stage_batches(get_batches, train, batch_size,
+                                           neg, jnp)
 
     # The epoch runs as ONE dispatch via lax.scan over the staged batches
     # (the framework's production path).  NB: timings must end with a real
     # value fetch — block_until_ready alone can return early on tunneled
     # device runtimes.
-    import jax.numpy as jnp2
     TN = jnp.stack([s[0] for s in staged])
     TS = jnp.stack([s[1] for s in staged])
     EI = jnp.stack([s[2] for s in staged])
     VA = jnp.stack([s[3] for s in staged])
-    total_samples = sum(s[4] for s in staged)
     n_iters = len(staged)
 
     # warmup epoch (compile + runtime warmup)
@@ -126,18 +196,53 @@ def main():
     epoch_time = time.time() - t0
 
     throughput = total_samples / epoch_time
+    ms_per_step = epoch_time / n_iters * 1e3
+
+    # --- honesty floors (see BASELINE.md perf model) -------------------
+    # per step at the headline shape: B=4000, roots L0 = 3B = 12000,
+    # instances L = L0*(1+fanout) = 132k, sampled edges E = L0*fanout.
+    L0 = 3 * batch_size
+    L = L0 * 11
+    E = L0 * 10
+    mem_row_bf16 = 512 * 2          # bf16-packed pull row (lane-padded)
+    ef_row = 256 * 4                # lane-padded 172-dim f32 row
+    wb_row = 475 * 4                # write-back row (f32 scatter)
+    est_bytes = (L * mem_row_bf16   # memory pull
+                 + E * ef_row       # edge-feature gather
+                 + 3 * 2 * batch_size * wb_row   # write-back RMW-ish
+                 + L * 100 * 2 * 6)              # GRU/attn activations
+    gather_rows = L + E + 4 * batch_size
+    bw_floor_ms = est_bytes / HBM_BYTES_PER_SEC * 1e3
+    latency_floor_ms = gather_rows * GATHER_NS_PER_ROW * 1e-6
+
+    extra = {
+        "epoch_time_s": round(epoch_time, 3),
+        "ms_per_step": round(ms_per_step, 2),
+        "iters": n_iters,
+        "ingest_time_s": round(ingest_time, 3),
+        "final_loss": round(float(loss), 4),
+        "device": str(jax.devices()[0]),
+        "baseline_estimated": True,
+        "baseline_samples_per_sec": BASELINE_SAMPLES_PER_SEC,
+        # absolute self-describing claims: estimated HBM bytes moved per
+        # step and the two step-time floors (v5e row gathers are
+        # LATENCY-bound at ~9 ns/row, so the latency floor — not
+        # bandwidth — is the binding one at this shape)
+        "est_hbm_bytes_per_step": int(est_bytes),
+        "bw_roofline_ms": round(bw_floor_ms, 2),
+        "gather_rows_per_step": int(gather_rows),
+        "gather_latency_floor_ms": round(latency_floor_ms, 2),
+    }
+    if os.environ.get("BENCH_MODELS", "1") != "0":
+        extra["models"] = run_model_matrix(
+            jax, jnp, dg, g, full, train, nf, ef, dim_node, dim_edge)
+
     result = {
         "metric": "tgn_reddit_train_throughput",
         "value": round(throughput, 1),
         "unit": "samples/s",
         "vs_baseline": round(throughput / BASELINE_SAMPLES_PER_SEC, 3),
-        "extra": {
-            "epoch_time_s": round(epoch_time, 3),
-            "iters": n_iters,
-            "ingest_time_s": round(ingest_time, 3),
-            "final_loss": round(float(loss), 4),
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 

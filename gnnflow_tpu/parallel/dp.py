@@ -32,11 +32,20 @@ def shard_trainer(trainer: Trainer, mesh: Mesh,
                     batch_sharding, batch_sharding, batch_sharding,
                     batch_sharding)
     # the (nid, ts) GRU dedup sorts the full instance axis — under GSPMD
-    # that would all-gather the batch-sharded MFGs; keep DP per-instance.
-    # Model-level compaction's block packing (cumsum over the batch axis)
-    # is likewise untested under sharding — keep DP on the padded path.
-    trainer.dedup_factor = None
-    trainer.model_compact = False
+    # that would all-gather the batch-sharded MFGs; keep DP per-instance
+    # (loudly, if the user asked for it — "auto" resolves to None at
+    # Trainer init, so a non-None value here was an explicit request).
+    # Model-level compaction IS kept under sharding: its block packing
+    # (cumsum + lower-bound over the [S, B] mask axis) is a global GSPMD
+    # op — loss-equality with the single device is covered by
+    # tests/test_model_compact.py.
+    if trainer.dedup_factor is not None:
+        import logging
+        logging.getLogger(__name__).warning(
+            "shard_trainer: disabling explicitly-set dedup_factor=%s "
+            "(the (nid, ts) dedup sort would all-gather batch-sharded "
+            "MFGs under GSPMD)", trainer.dedup_factor)
+        trainer.dedup_factor = None
     trainer._train_step = jax.jit(
         trainer._step, static_argnums=(8,),
         donate_argnums=(0,),

@@ -172,9 +172,9 @@ class Trainer:
             # family): the padded design otherwise pays full feature-
             # gather + attention cost for mostly-empty snapshot windows.
             # Exact up to dropout-draw assignment (overflow falls back
-            # to the padded path via a step-level lax.cond).
+            # to the padded path via per-boundary lax.conds).
             model_compact = (self.num_snapshots > 1 and self.window > 0
-                             and len(self.fanouts) == 2
+                             and len(self.fanouts) >= 2
                              and not model.use_memory)
         self.model_compact = bool(model_compact)
         if gru_table == "auto":
@@ -475,13 +475,17 @@ class Trainer:
     def _model_compact_outputs(self, state, dg, roots, sample_ts,
                                ksample, kdrop, valid, train,
                                node_feats, edge_feats):
-        """Windowed multi-snapshot (2-layer) fast path: the deeper layer
-        stays compact through feature gathers and attention; embeddings
-        expand at the layer boundary (``expand_blocks``).  The overflow
-        decision (more valid neighbor blocks than the static cap) is
-        computable from layer 0's masks alone, so BOTH branches of the
-        step-level ``lax.cond`` share layer 0's sampling and neither
-        wastes deeper work."""
+        """Windowed multi-snapshot N-layer fast path: deeper layers stay
+        compact through feature gathers and attention; embeddings expand
+        at each layer boundary (``expand_blocks``).
+
+        Each boundary's overflow decision (more valid neighbor blocks
+        than its static cap) is computable from the PARENT layer's masks
+        alone, so the per-boundary ``lax.cond`` shares all shallower
+        sampling: overflow at boundary ``i`` re-samples only layers
+        ``i..N-1`` padded (relative to the compact chain built so far)
+        and never wastes deeper work.  The 2-layer case reduces to one
+        step-level cond (round-2 behavior); N layers nest N-1 conds."""
         from gnnflow_tpu.ops.sampling import (boundary_overflow,
                                               sample_deeper_compact,
                                               sample_layer_snapshots)
@@ -489,45 +493,66 @@ class Trainer:
         de = getattr(self.model, "dim_edge", 0)
         factor = float(self.compact_factor)   # _step guards against None
         S = self.num_snapshots
+        L = len(self.fanouts)
         kw = dict(strategy=self.strategy, num_snapshots=S,
                   window=self.window, prop_time=self.prop_time,
                   search_iters=self._iters(dg))
-        k0 = (jax.random.fold_in(ksample, 0)
-              if ksample is not None else None)
-        k1 = (jax.random.fold_in(ksample, 1)
-              if ksample is not None else None)
+        keys = [jax.random.fold_in(ksample, i) if ksample is not None
+                else None for i in range(L)]
         R = jnp.stack([roots] * S)
         T = jnp.stack([sample_ts] * S)
         mfgs0 = sample_layer_snapshots(
             dg, R, T, fanout=self.fanouts[0], shared_roots=True,
-            key=k0, **kw)
-        B1 = mfgs0[0].num_dst
-        F0 = mfgs0[0].fanout
-        cap = min(B1, max(1, math.ceil(factor * B1)))
-        overflow = boundary_overflow(mfgs0, cap)
+            key=keys[0], **kw)
 
-        def fast(_):
-            inner, rank = sample_deeper_compact(
-                dg, mfgs0, cap, fanout=self.fanouts[1], key=k1, **kw)
-            cm = [inner, mfgs0]
+        def run(mfgs_list, expans):
+            # outermost-first chain -> the model's innermost-first order;
+            # expansions[l] rides with the compact MFG it expands
+            cm = list(reversed(mfgs_list))
+            exps = list(reversed(expans))
             nfs, efs = fetch_features(cm, node_feats, edge_feats,
                                       dn or None, de or None)
             return self._run_model(
                 state, cm, efs, kdrop, valid, train, None, nfs,
-                expansions=[(rank, cap, F0), None])
+                expansions=exps if any(e is not None for e in exps)
+                else None)
 
-        def full(_):
-            Rf = jnp.stack([m.all_nodes() for m in mfgs0])
-            Tf = jnp.stack([m.all_ts() for m in mfgs0])
-            inner = sample_layer_snapshots(
-                dg, Rf, Tf, fanout=self.fanouts[1], key=k1, **kw)
-            mfgs = [inner, mfgs0]
-            nfs, efs = fetch_features(mfgs, node_feats, edge_feats,
-                                      dn or None, de or None)
-            return self._run_model(state, mfgs, efs, kdrop, valid,
-                                   train, None, nfs)
+        def chain(layer, mfgs_list, expans):
+            """Sample layers ``layer..L-1``; ``mfgs_list`` holds the
+            outermost ``layer`` MFG lists (deepest one compact)."""
+            if layer == L:
+                return run(mfgs_list, expans)
+            prev = mfgs_list[-1]
+            Bp = prev[0].num_dst
+            Fp = prev[0].fanout
+            cap = min(Bp, max(1, math.ceil(factor * Bp)))
+            ovf = boundary_overflow(prev, cap)
 
-        return jax.lax.cond(~overflow, fast, full, None)
+            def fast(_):
+                inner, rank = sample_deeper_compact(
+                    dg, prev, cap, fanout=self.fanouts[layer],
+                    key=keys[layer], **kw)
+                return chain(layer + 1, mfgs_list + [inner],
+                             expans + [(rank, cap, Fp)])
+
+            def full(_):
+                # remaining layers padded relative to the current chain
+                ms, es = list(mfgs_list), list(expans)
+                per = [(m.all_nodes(), m.all_ts()) for m in ms[-1]]
+                for li in range(layer, L):
+                    Rf = jnp.stack([r for r, _ in per])
+                    Tf = jnp.stack([t for _, t in per])
+                    lm = sample_layer_snapshots(
+                        dg, Rf, Tf, fanout=self.fanouts[li],
+                        key=keys[li], **kw)
+                    ms.append(lm)
+                    es.append(None)
+                    per = [(m.all_nodes(), m.all_ts()) for m in lm]
+                return run(ms, es)
+
+            return jax.lax.cond(~ovf, fast, full, None)
+
+        return chain(1, [mfgs0], [None])
 
     def _step(self, state: TrainState, dg: DeviceGraph,
               node_feats, edge_feats,

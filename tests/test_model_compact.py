@@ -29,28 +29,34 @@ def _setup():
     return train, g, ef
 
 
-def _losses(model_compact, strategy, window, steps=6, factor=0.5):
+def _losses(model_compact, strategy, window, steps=6, factor=0.5,
+            fanouts=(5, 5), num_devices=0, batch=250):
     train, g, ef = _setup()
     dg = g.device_graph()
     model = DGNN(dim_node=0, dim_edge=12, dim_time=16, dim_embed=32,
-                 num_layers=2, num_snapshots=3, att_head=2, dropout=0.0,
-                 att_dropout=0.0, use_memory=False)
-    trainer = Trainer(model, fanouts=[5, 5], sample_strategy=strategy,
+                 num_layers=len(fanouts), num_snapshots=3, att_head=2,
+                 dropout=0.0, att_dropout=0.0, use_memory=False)
+    trainer = Trainer(model, fanouts=list(fanouts),
+                      sample_strategy=strategy,
                       num_snapshots=3, snapshot_time_window=window,
                       prop_time=True, lr=1e-3,
                       compact_factor=factor,
                       model_compact=model_compact)
     ef_arr = jnp.asarray(ef)
-    state = trainer.init_state(jax.random.PRNGKey(0), dg, 250, None,
+    state = trainer.init_state(jax.random.PRNGKey(0), dg, batch, None,
                                ef_arr, num_nodes=g.max_vertex_id() + 1)
+    if num_devices:
+        from gnnflow_tpu.parallel import make_mesh, shard_trainer
+        shard_trainer(trainer, make_mesh(num_devices))
+        assert trainer.model_compact == model_compact  # DP keeps it
     neg = DstRandEdgeSampler(train.dst, seed=1)
     losses = []
     rng = np.random.RandomState(0)
-    for i, batch in enumerate(get_batches(train, 250, neg, rng=rng)):
+    for i, batch_ in enumerate(get_batches(train, batch, neg, rng=rng)):
         if i >= steps:
             break
         state, loss, _, _ = trainer.train_step(state, dg, None, ef_arr,
-                                               batch)
+                                               batch_)
         losses.append(float(loss))
     return losses
 
@@ -68,6 +74,33 @@ def test_overflow_falls_back_exactly():
     b = _losses(True, "recent", 3.0, factor=0.02)
     # ulp-level fusion differences across the cond boundary are expected
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_3layer_recent_matches_padded_exactly():
+    """N-layer generalization: a 3-layer windowed config must be
+    loss-equal compact-vs-padded (nested per-boundary conds)."""
+    a = _losses(False, "recent", 3.0, fanouts=(4, 3, 3), steps=4)
+    b = _losses(True, "recent", 3.0, fanouts=(4, 3, 3), steps=4)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_3layer_partial_overflow_falls_back_exactly():
+    """A cap that fits boundary 1 but overflows boundary 2 exercises the
+    NESTED fallback (compact layer 1, padded layer 2) — still exact."""
+    a = _losses(False, "recent", 8.0, fanouts=(4, 3, 3), steps=4,
+                factor=0.3)
+    b = _losses(True, "recent", 8.0, fanouts=(4, 3, 3), steps=4,
+                factor=0.3)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_dp_sharded_compact_matches_single_device():
+    """Model compaction survives GSPMD sharding: 8-device DP DySAT with
+    model_compact on is loss-equal to the unsharded compact run (and
+    hence, by the tests above, to the padded path)."""
+    a = _losses(True, "recent", 3.0, steps=4, batch=240)
+    b = _losses(True, "recent", 3.0, steps=4, batch=240, num_devices=8)
+    np.testing.assert_allclose(b, a, rtol=5e-4)
 
 
 def test_uniform_trains_and_is_finite():
