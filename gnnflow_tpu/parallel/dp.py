@@ -10,7 +10,6 @@ writes (``memory.py:67-96``).
 """
 from __future__ import annotations
 
-import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gnnflow_tpu.parallel.mesh import DATA_AXIS
@@ -46,10 +45,10 @@ def shard_trainer(trainer: Trainer, mesh: Mesh,
             "(the (nid, ts) dedup sort would all-gather batch-sharded "
             "MFGs under GSPMD)", trainer.dedup_factor)
         trainer.dedup_factor = None
-    trainer._train_step = jax.jit(
-        trainer._step, static_argnums=(8,),
-        donate_argnums=(0,),
-        in_shardings=in_shardings,
-        out_shardings=repl)
+    # funnel through _rejit so a later (auto-)calibrate() keeps the
+    # DP shardings when it rebuilds the step
+    trainer._jit_train_kwargs = dict(in_shardings=in_shardings,
+                                     out_shardings=repl)
+    trainer._rejit()
     trainer.mesh = mesh
     return trainer

@@ -57,8 +57,11 @@ class PartitionedTrainer(Trainer):
         self.overflow_fallback = bool(overflow_fallback)
         # the (nid, ts) GRU dedup sorts the full instance axis — under
         # GSPMD that would all-gather the batch-sharded MFGs; keep the
-        # partitioned step per-instance unless explicitly requested
+        # partitioned step per-instance unless explicitly requested.
+        # Auto-calibration is off: calibrate() samples the single-store
+        # path, which a partitioned graph does not expose.
         kwargs.setdefault("dedup_factor", None)
+        kwargs.setdefault("auto_calibrate", False)
         super().__init__(model, **kwargs)
         repl = NamedSharding(mesh, P())
         batch = NamedSharding(mesh, P(DATA_AXIS))
@@ -69,10 +72,10 @@ class PartitionedTrainer(Trainer):
         # state sharding (memory rows sharded, params replicated) is
         # propagated by GSPMD from the input placements; only the batch
         # and graph args are constrained here.
-        self._train_step = jax.jit(
-            self._step, static_argnums=(8,), donate_argnums=(0,),
+        self._jit_train_kwargs = dict(
             in_shardings=(None, graph_shard, None, None,
                           batch, batch, batch, batch))
+        self._rejit()
 
     # -- multi-process placement hooks ---------------------------------
     # Under jax.distributed (multi-controller SPMD) every jit input must

@@ -131,7 +131,8 @@ class Trainer:
                  is_static=False, lr=1e-4, optimizer=None,
                  neg_sample_ratio=1, memory_storage="float32",
                  compact_factor="auto", dedup_factor="auto",
-                 gru_table="auto", model_compact="auto"):
+                 gru_table="auto", model_compact="auto",
+                 auto_calibrate="auto"):
         self.model = model
         self.fanouts = tuple(int(f) for f in fanouts)
         self.strategy = sample_strategy
@@ -206,10 +207,34 @@ class Trainer:
                 f"model neg_sample_ratio={model_ratio} != trainer "
                 f"neg_sample_ratio={self.neg_ratio}")
 
+        if auto_calibrate == "auto":
+            # the compaction caps depend on measured stream stats
+            # (window occupancy / (nid, ts) duplication), so calibrate
+            # on the first real batches with no flag.  Only configs with
+            # something to calibrate pay the one-time sampling pass:
+            # windowed multi-snapshot (compact/model-compact factors) or
+            # GRU memory (dedup factor).  PartitionedTrainer opts out
+            # (calibration samples the single-store path).
+            auto_calibrate = (
+                (self.num_snapshots > 1 and self.window > 0)
+                or (model.use_memory
+                    and getattr(model, "memory_updater", "gru") == "gru"))
+        self._calibrated = not bool(auto_calibrate)
+
+        self._jit_train_kwargs = {}
+        self._rejit()
+
+    def _rejit(self):
+        """(Re)build the jitted steps — the single place calibration and
+        DP sharding changes funnel through, so a post-``shard_trainer``
+        ``calibrate()`` keeps the GSPMD shardings."""
         self._train_step = jax.jit(self._step, static_argnums=(8,),
-                                   donate_argnums=(0,))
+                                   donate_argnums=(0,),
+                                   **self._jit_train_kwargs)
         self._pre_step = jax.jit(self._step_prefetched,
                                  static_argnums=(7,), donate_argnums=(0,))
+        if hasattr(self, "_scan_step"):
+            del self._scan_step  # rebuilt lazily with the new factors
 
     # ------------------------------------------------------------------
 
@@ -319,6 +344,7 @@ class Trainer:
             dict of the measured stats and chosen factors.
         """
         key = key if key is not None else jax.random.PRNGKey(0)
+        self._calibrated = True
         occ = []
         uniq_frac = []
         n = 0
@@ -326,8 +352,13 @@ class Trainer:
             if n >= max_batches:
                 break
             n += 1
-            roots = jnp.asarray(batch.target_nodes, jnp.int32)
-            ts = jnp.asarray(batch.ts, jnp.float32)
+            if isinstance(batch, tuple):
+                roots, ts = batch
+                roots = jnp.asarray(roots, jnp.int32)
+                ts = jnp.asarray(ts, jnp.float32)
+            else:
+                roots = jnp.asarray(batch.target_nodes, jnp.int32)
+                ts = jnp.asarray(batch.ts, jnp.float32)
             if self.is_static:
                 ts = jnp.full_like(ts, np.float32(3.4e38))
             mfgs = sample_hops(
@@ -370,14 +401,25 @@ class Trainer:
                 self.dedup_factor = new
                 changed = True
         if changed:
-            self._train_step = jax.jit(self._step, static_argnums=(8,),
-                                       donate_argnums=(0,))
-            self._pre_step = jax.jit(self._step_prefetched,
-                                     static_argnums=(7,),
-                                     donate_argnums=(0,))
+            self._rejit()
         stats["compact_factor"] = self.compact_factor
         stats["dedup_factor"] = self.dedup_factor
         return stats
+
+    def _maybe_auto_calibrate(self, dg, roots, ts) -> None:
+        """First-batch auto-calibration (no flag needed): measure the
+        stream stats on the incoming batch and pick the compaction
+        factors BEFORE the step jits — one compile, calibrated from the
+        start.  Explicit ``calibrate()`` calls suppress it (and are
+        preferable when late batches are available: window occupancy
+        grows over the stream, and a first-batch cap that later
+        overflows costs only the exact lax.cond fallback, never
+        correctness)."""
+        if self._calibrated:
+            return
+        import logging
+        stats = self.calibrate(dg, [(roots, ts)], max_batches=1)
+        logging.getLogger(__name__).info("auto-calibration: %s", stats)
 
     def _dedup_cap(self, num_all: int) -> int:
         cap = int(math.ceil(float(self.dedup_factor) * num_all / 256.0))
@@ -679,6 +721,8 @@ class Trainer:
                           target_nodes, ts, eids, valid, train=True):
         """Direct array-based step (no per-call host conversion) — use
         with pre-staged device batches for maximum throughput."""
+        if train:
+            self._maybe_auto_calibrate(dg, target_nodes, ts)
         return self._train_step(state, dg, node_feats, edge_feats,
                                 target_nodes, ts, eids, valid, train)
 
@@ -690,6 +734,7 @@ class Trainer:
         pipeline: zero per-step host involvement.
 
         Returns ``(state, losses[K])``."""
+        self._maybe_auto_calibrate(dg, target_nodes[0], ts[0])
         if not hasattr(self, "_scan_step"):
             def run(state, dg, nf, ef, tn, ts, eids, valid):
                 def body(carry, xs):
@@ -703,6 +748,7 @@ class Trainer:
                                target_nodes, ts, eids, valid)
 
     def train_step(self, state, dg, node_feats, edge_feats, batch):
+        self._maybe_auto_calibrate(dg, batch.target_nodes, batch.ts)
         return self._train_step(
             state, dg, node_feats, edge_feats,
             jnp.asarray(batch.target_nodes, jnp.int32),

@@ -198,9 +198,10 @@ def main():
         logging.info("cache mem size: %.2f MB",
                      cache.get_mem_size() / 1e6)
 
-    # windowed multi-snapshot configs always calibrate: the static
-    # compaction caps depend on measured window occupancy, and the
-    # selection is exact either way (cond fallbacks)
+    # The Trainer auto-calibrates on the first real batch with no flag;
+    # this explicit pass (windowed configs + --calibrate) measures LATE
+    # batches instead — occupancy grows over the stream, so end-of-stream
+    # stats pick safer caps — and suppresses the in-trainer pass.
     auto_cal = (model_config.get("num_snapshots", 1) > 1
                 and model_config.get("snapshot_time_window", 0) > 0)
     if args.calibrate or auto_cal:
