@@ -150,10 +150,27 @@ class DGNN(nn.Module):
                 if l != self.num_layers - 1:
                     if expansions is not None and \
                             expansions[l] is not None:
-                        from gnnflow_tpu.ops.segment_pallas import \
-                            expand_blocks
-                        rank, cap, fo = expansions[l]
-                        rst = expand_blocks(rst, rank[h], cap, fo)
+                        spec = expansions[l]
+                        if spec[0] == "rows":
+                            # (nid, ts)-dedup compaction: expand unique-
+                            # instance embeddings to per-instance rows
+                            # (exact scatter-free transpose)
+                            from gnnflow_tpu.ops.segment_pallas import \
+                                expand_compact
+                            _, inv, sidx, rank_sorted = spec
+                            d = rst.shape[-1]
+                            pad = (-d) % 128
+                            rp = jnp.pad(rst, ((0, 0), (0, pad))) \
+                                if pad else rst
+                            rst = expand_compact(rp, inv, sidx,
+                                                 rank_sorted)
+                            rst = rst[:, :d] if pad else rst
+                        else:
+                            # windowed-snapshot block compaction
+                            from gnnflow_tpu.ops.segment_pallas import \
+                                expand_blocks
+                            _, rank, cap, fo = spec
+                            rst = expand_blocks(rst, rank[h], cap, fo)
                     next_h.append(rst)
                 else:
                     out.append(rst)

@@ -132,7 +132,7 @@ class Trainer:
                  neg_sample_ratio=1, memory_storage="float32",
                  compact_factor="auto", dedup_factor="auto",
                  gru_table="auto", model_compact="auto",
-                 auto_calibrate="auto"):
+                 layer_dedup="auto", auto_calibrate="auto"):
         self.model = model
         self.fanouts = tuple(int(f) for f in fanouts)
         self.strategy = sample_strategy
@@ -178,6 +178,22 @@ class Trainer:
                              and len(self.fanouts) >= 2
                              and not model.use_memory)
         self.model_compact = bool(model_compact)
+        if layer_dedup == "auto":
+            # deeper-layer (nid, ts) dedup for multi-layer single-
+            # snapshot attention models (TGAT family): layer i+1 roots
+            # are layer i's all_nodes, of which only ~13-25% are unique
+            # (nid, ts) pairs at measured streams — sampling + feature-
+            # gathering + attention over the unique set and expanding
+            # embeddings at the boundary cuts the deeper layer ~4x.
+            # Auto-calibration (first batch) picks the capacity factor;
+            # overflow falls back to the padded path (lax.cond), so
+            # results never change (up to dropout-draw assignment).
+            layer_dedup = None   # calibrate() picks it from the stream
+        self.layer_dedup = layer_dedup
+        if self.layer_dedup is not None and not self._layer_dedup_ok():
+            raise ValueError(
+                "layer_dedup requires a multi-layer single-snapshot "
+                "DGNN without memory (TGAT family)")
         if gru_table == "auto":
             # Opt-in.  The per-node gate pre-projection
             # (ops/gru_gather.py) hoists the GRU's node-dependent
@@ -212,17 +228,27 @@ class Trainer:
             # (window occupancy / (nid, ts) duplication), so calibrate
             # on the first real batches with no flag.  Only configs with
             # something to calibrate pay the one-time sampling pass:
-            # windowed multi-snapshot (compact/model-compact factors) or
-            # GRU memory (dedup factor).  PartitionedTrainer opts out
+            # windowed multi-snapshot (compact/model-compact factors),
+            # GRU memory (dedup factor), or multi-layer single-snapshot
+            # DGNNs (layer_dedup factor).  PartitionedTrainer opts out
             # (calibration samples the single-store path).
             auto_calibrate = (
                 (self.num_snapshots > 1 and self.window > 0)
                 or (model.use_memory
-                    and getattr(model, "memory_updater", "gru") == "gru"))
+                    and getattr(model, "memory_updater", "gru") == "gru")
+                or self._layer_dedup_ok())
         self._calibrated = not bool(auto_calibrate)
 
         self._jit_train_kwargs = {}
         self._rejit()
+
+    def _layer_dedup_ok(self) -> bool:
+        """Is this a config the deeper-layer (nid, ts) dedup supports?
+        Multi-layer single-snapshot DGNN without memory (TGAT family);
+        static models (SAGE/GAT classes) have no expansion hook."""
+        return (isinstance(self.model, DGNN) and not self.is_static
+                and self.num_snapshots == 1 and len(self.fanouts) >= 2
+                and not self.model.use_memory)
 
     def _rejit(self):
         """(Re)build the jitted steps — the single place calibration and
@@ -347,6 +373,7 @@ class Trainer:
         self._calibrated = True
         occ = []
         uniq_frac = []
+        boundary_frac = []
         n = 0
         for batch in batches:
             if n >= max_batches:
@@ -380,8 +407,21 @@ class Trainer:
                 pairs = np.stack([nid[valid], mts[valid]], 1)
                 u = np.unique(pairs, axis=0).shape[0]
                 uniq_frac.append(u / max(nid.size, 1))
+            if self._layer_dedup_ok():
+                # unique (nid, ts) fraction at each layer boundary (the
+                # parent layers' all_nodes = the deeper layers' roots)
+                for layer in mfgs[1:]:
+                    for m in layer:
+                        nid = np.asarray(m.all_nodes())
+                        mts = np.asarray(m.all_ts()).view(np.int32)
+                        va = np.asarray(m.all_mask())
+                        pairs = np.stack([nid[va], mts[va]], 1)
+                        u = np.unique(pairs, axis=0).shape[0]
+                        boundary_frac.append(u / max(nid.size, 1))
         stats = {"occupancy": max(occ) if occ else None,
-                 "uniq_frac": max(uniq_frac) if uniq_frac else None}
+                 "uniq_frac": max(uniq_frac) if uniq_frac else None,
+                 "boundary_uniq_frac": max(boundary_frac)
+                 if boundary_frac else None}
         changed = False
         if occ:
             o = stats["occupancy"]
@@ -400,10 +440,23 @@ class Trainer:
             if new != self.dedup_factor:
                 self.dedup_factor = new
                 changed = True
+        if boundary_frac:
+            u = stats["boundary_uniq_frac"]
+            # deeper-layer dedup measured 61 -> 32-36 ms/step for TGAT
+            # 2-layer @ 4000 on v5e at uniq_frac 0.09-0.14 (BASELINE.md
+            # round 3); ~2.5x headroom over the measured fraction keeps
+            # the lax.cond on the fast branch.  Past ~0.35 unique the
+            # sort/expand machinery stops paying — disable.
+            new = round(min(0.9, 2.5 * u + 0.06), 2) if u <= 0.35 \
+                else None
+            if new != self.layer_dedup:
+                self.layer_dedup = new
+                changed = True
         if changed:
             self._rejit()
         stats["compact_factor"] = self.compact_factor
         stats["dedup_factor"] = self.dedup_factor
+        stats["layer_dedup"] = self.layer_dedup
         return stats
 
     def _maybe_auto_calibrate(self, dg, roots, ts) -> None:
@@ -554,6 +607,8 @@ class Trainer:
             exps = list(reversed(expans))
             nfs, efs = fetch_features(cm, node_feats, edge_feats,
                                       dn or None, de or None)
+            exps = [("blocks",) + e if e is not None else None
+                    for e in exps]
             return self._run_model(
                 state, cm, efs, kdrop, valid, train, None, nfs,
                 expansions=exps if any(e is not None for e in exps)
@@ -596,6 +651,78 @@ class Trainer:
 
         return chain(1, [mfgs0], [None])
 
+    def _layer_dedup_outputs(self, state, dg, roots, sample_ts,
+                             ksample, kdrop, valid, train,
+                             node_feats, edge_feats):
+        """Single-snapshot multi-layer fast path (TGAT family): each
+        deeper layer samples only the UNIQUE ``(nid, ts)`` instances of
+        its parent layer's ``all_nodes`` (attention output is a pure
+        function of the pair given the store), and the layer's output
+        embeddings expand back to per-instance rows at the boundary
+        (exact scatter-free transpose).  Per-boundary overflow
+        (``n_uniq > cap``) falls back to the padded path for the
+        remaining layers via ``lax.cond`` — results never change (up to
+        dropout/uniform-RNG draw assignment, as with model_compact)."""
+        from gnnflow_tpu.ops.dedup import dedup_instances
+        from gnnflow_tpu.ops.sampling import sample_layer
+        dn = getattr(self.model, "dim_node", 0)
+        de = getattr(self.model, "dim_edge", 0)
+        factor = float(self.layer_dedup)
+        L = len(self.fanouts)
+        kw = dict(strategy=self.strategy, num_snapshots=1,
+                  window=self.window, prop_time=self.prop_time,
+                  search_iters=self._iters(dg))
+        keys = [jax.random.fold_in(ksample, i) if ksample is not None
+                else None for i in range(L)]
+        mfg0 = sample_layer(dg, roots, sample_ts,
+                            fanout=self.fanouts[0], key=keys[0], **kw)
+
+        def run(mlist, exps):
+            cm = [[m] for m in reversed(mlist)]
+            ex = list(reversed(exps))
+            nfs, efs = fetch_features(cm, node_feats, edge_feats,
+                                      dn or None, de or None)
+            return self._run_model(
+                state, cm, efs, kdrop, valid, train, None, nfs,
+                expansions=ex if any(e is not None for e in ex)
+                else None)
+
+        def chain(layer, mlist, exps):
+            if layer == L:
+                return run(mlist, exps)
+            prev = mlist[-1]
+            La = prev.num_all
+            cap = min(La, -(-math.ceil(factor * La) // 256) * 256)
+            uniq_nid, uniq_ts, inv, n_uniq, sidx, rank_sorted = \
+                dedup_instances(prev.all_nodes(), prev.all_ts(),
+                                prev.all_mask(), cap)
+
+            def fast(_):
+                # unused compact slots become invalid roots (masked rows)
+                nid_c = jnp.where(
+                    jnp.arange(cap, dtype=jnp.int32) < n_uniq,
+                    uniq_nid, jnp.int32(-1))
+                inner = sample_layer(dg, nid_c, uniq_ts,
+                                     fanout=self.fanouts[layer],
+                                     key=keys[layer], **kw)
+                return chain(layer + 1, mlist + [inner],
+                             exps + [("rows", inv, sidx, rank_sorted)])
+
+            def full(_):
+                ms, es = list(mlist), list(exps)
+                r, t = ms[-1].all_nodes(), ms[-1].all_ts()
+                for li in range(layer, L):
+                    lm = sample_layer(dg, r, t, fanout=self.fanouts[li],
+                                      key=keys[li], **kw)
+                    ms.append(lm)
+                    es.append(None)
+                    r, t = lm.all_nodes(), lm.all_ts()
+                return run(ms, es)
+
+            return jax.lax.cond(n_uniq <= cap, fast, full, None)
+
+        return chain(1, [mfg0], [None])
+
     def _step(self, state: TrainState, dg: DeviceGraph,
               node_feats, edge_feats,
               target_nodes, ts, eids, valid, train: bool):
@@ -612,6 +739,10 @@ class Trainer:
         if self.model_compact and self.compact_factor is not None \
                 and type(self) is Trainer:
             loss, pos, neg, last, grads = self._model_compact_outputs(
+                state, dg, roots32, sample_ts, ksample, kdrop, valid,
+                train, node_feats, edge_feats)
+        elif self.layer_dedup is not None and type(self) is Trainer:
+            loss, pos, neg, last, grads = self._layer_dedup_outputs(
                 state, dg, roots32, sample_ts, ksample, kdrop, valid,
                 train, node_feats, edge_feats)
         else:
