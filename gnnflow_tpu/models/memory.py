@@ -494,37 +494,77 @@ class TransformerMemoryUpdater(nn.Module):
     dtype: Optional[jnp.dtype] = None   # compute dtype (params stay f32)
 
     @nn.compact
-    def __call__(self, mfg: MFG, mem_input: Dict[str, jax.Array],
+    def __call__(self, mfg: MFG, mem_input,
                  node_feats: Optional[jax.Array] = None,
                  train: bool = False):
-        mail = mem_input["mail"]     # [n, dr] or [n, S, dr]
-        mem = mem_input["mem"]
-        all_ts = mfg.all_ts()
-        if mail.ndim == 2:
-            mail = mail[:, None, :]                        # S = 1
-            mail_ts = mem_input["mail_ts"][:, None]
-        else:
-            mail_ts = mem_input["mail_ts"]                 # [n, S]
-        n, S, dr = mail.shape
         cdt = self.dtype or jnp.float32
+        all_ts = mfg.all_ts()
+        dedup = isinstance(mem_input, DedupMemoryInput)
+        if dedup:
+            # exact (nid, ts) dedup: the updater output is a pure
+            # function of the pair given the (detached) state, so it
+            # runs over the compact winner set and expands at the end
+            # (attention-dropout draws collapse across duplicates).
+            di = mem_input
+            all_ts = di.uniq_ts
+            nids_override = jnp.clip(di.uniq_nids, 0,
+                                     di.state.num_nodes - 1)
+            if di.state.packed:
+                mem_input = prepare_input_at(di.state, nids_override)
+            else:
+                mem_input = RawMemoryInput(state=di.state)
+        if isinstance(mem_input, RawMemoryInput):
+            # table path: K/V pre-projected over the [N, S, dr] mailbox
+            # TABLE (N ≪ L), then ONE slim per-instance gather — deletes
+            # the [L, S, dr] raw-mail pull and its layout copies
+            # (profiled ~20 ms/step at the APAN headline; see
+            # ops/apan_kv.py).  Identical math: matmul-then-gather ==
+            # gather-then-matmul row-wise, and the parameter tree
+            # (w_kv/kernel+bias via GateParams) matches MultiLinear's,
+            # so checkpoints are interchangeable.
+            from gnnflow_tpu.models.modules import GateParams
+            from gnnflow_tpu.ops.apan_kv import apan_table_pull
+            state = mem_input.state
+            S, dr = state.mailbox_slots, state.dim_raw
+            kernel, bias = GateParams(
+                dr + self.dim_time, 2 * self.dim_memory, name="w_kv")()
+            nids = nids_override if dedup else \
+                jnp.clip(mfg.all_nodes(), 0, state.num_nodes - 1)
+            mem, kv, mail_ts = apan_table_pull(
+                state.data, kernel[:dr], nids, state.dim_memory, S, dr,
+                jnp.dtype(cdt).name)
+            n = mem.shape[0]
+            if self.dim_time > 0:
+                tf = TimeEncode(self.dim_time)(
+                    all_ts[:, None] - mail_ts)             # [n, S, dt]
+                kv = kv + tf.astype(cdt) @ kernel[dr:].astype(cdt)
+            kv = kv + bias.astype(cdt)
+        else:
+            mail = mem_input["mail"]     # [n, dr] or [n, S, dr]
+            mem = mem_input["mem"]
+            if mail.ndim == 2:
+                mail = mail[:, None, :]                        # S = 1
+                mail_ts = mem_input["mail_ts"][:, None]
+            else:
+                mail_ts = mem_input["mail_ts"]                 # [n, S]
+            n, S, dr = mail.shape
 
-        parts = [mail]
-        if self.dim_time > 0:
-            tf = TimeEncode(self.dim_time)(all_ts[:, None] - mail_ts)
-            parts.append(tf.astype(cdt))                   # [n, S, dt]
+            parts = [mail]
+            if self.dim_time > 0:
+                tf = TimeEncode(self.dim_time)(all_ts[:, None] - mail_ts)
+                parts.append(tf.astype(cdt))                   # [n, S, dt]
 
-        # memory queries attend over the S mail slots (TGL's APAN
-        # TransformerMemoryUpdater).  K and V are ONE fused projection
-        # computed as a sum of per-part matmuls — the wide [n, S, dr+dt]
-        # concat never hits HBM (the [132k, 10, 472] f32 intermediate
-        # dominated the APAN step before this).  NB: keep the batched
-        # [n, S, *] form — flattening to [n*S, *] 2-D matmuls measured
-        # 59.3 -> 78.7 ms/step (XLA picks worse layouts for the gathered
-        # rows).
-        from gnnflow_tpu.models.modules import MultiLinear
+            # memory queries attend over the S mail slots (TGL's APAN
+            # TransformerMemoryUpdater).  K and V are ONE fused
+            # projection computed as a sum of per-part matmuls — the
+            # wide [n, S, dr+dt] concat never hits HBM.  NB: keep the
+            # batched [n, S, *] form — flattening to [n*S, *] 2-D
+            # matmuls measured 59.3 -> 78.7 ms/step (XLA picks worse
+            # layouts for the gathered rows).
+            from gnnflow_tpu.models.modules import MultiLinear
+            kv = MultiLinear(2 * self.dim_memory, name="w_kv",
+                             dtype=self.dtype)(parts)      # [n, S, 2dm]
         q = Linear(self.dim_memory, name="w_q", dtype=self.dtype)(mem)
-        kv = MultiLinear(2 * self.dim_memory, name="w_kv",
-                         dtype=self.dtype)(parts)          # [n, S, 2dm]
         k = kv[..., : self.dim_memory]
         v = kv[..., self.dim_memory:]
         H = self.att_head
@@ -542,6 +582,35 @@ class TransformerMemoryUpdater(nn.Module):
             mem.astype(jnp.float32) + upd.astype(jnp.float32))
 
         num_dst = mfg.num_dst
+        if dedup:
+            # fuse (compact) node features, expand to per-instance rows
+            # (same machinery as the GRU dedup path)
+            from gnnflow_tpu.ops.dedup import expand_rows
+            from gnnflow_tpu.ops.segment_pallas import expand_compact
+            h_u = upd
+            fused_nf = self.dim_node > 0 and di.node_feats is not None
+            if fused_nf:
+                safe = jnp.clip(di.uniq_nids, 0,
+                                di.node_feats.shape[0] - 1)
+                nf = di.node_feats[safe][:, : self.dim_node]
+                h_u = upd + (nf if self.dim_node == self.dim_memory
+                             else Linear(self.dim_memory,
+                                         name="node_feat_proj")(nf))
+            d = h_u.shape[-1]
+            pad = (-d) % 128
+            hp = jnp.pad(h_u, ((0, 0), (0, pad))) if pad else h_u
+            h = expand_compact(hp, di.inv, di.sidx, di.rank_sorted)
+            h = h[:, :d] if pad else h
+            dst_updated = expand_rows(upd, di.inv[:num_dst]) if fused_nf \
+                else h[:num_dst]
+            last_updated = {
+                "last_updated_nid": jax.lax.stop_gradient(
+                    mfg.all_nodes()[:num_dst]),
+                "last_updated_memory": jax.lax.stop_gradient(dst_updated),
+                "last_updated_ts": jax.lax.stop_gradient(
+                    mfg.all_ts()[:num_dst]),
+            }
+            return h, last_updated
         last_updated = {
             "last_updated_nid": jax.lax.stop_gradient(
                 mfg.all_nodes()[:num_dst]),

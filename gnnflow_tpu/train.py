@@ -132,7 +132,8 @@ class Trainer:
                  neg_sample_ratio=1, memory_storage="float32",
                  compact_factor="auto", dedup_factor="auto",
                  gru_table="auto", model_compact="auto",
-                 layer_dedup="auto", auto_calibrate="auto"):
+                 layer_dedup="auto", apan_table="auto",
+                 auto_calibrate="auto"):
         self.model = model
         self.fanouts = tuple(int(f) for f in fanouts)
         self.strategy = sample_strategy
@@ -162,11 +163,6 @@ class Trainer:
             # higher.
             dedup_factor = None
         self.dedup_factor = dedup_factor
-        if self.dedup_factor and model.use_memory and \
-                getattr(model, "memory_updater", "gru") != "gru":
-            raise ValueError("dedup_factor requires the GRU updater "
-                             "(the APAN transformer updater uses per-"
-                             "instance dropout)")
         if model_compact == "auto":
             # keep deeper-layer MFGs compact through feats + attention
             # for windowed multi-snapshot multi-layer models (DySAT
@@ -194,6 +190,16 @@ class Trainer:
             raise ValueError(
                 "layer_dedup requires a multi-layer single-snapshot "
                 "DGNN without memory (TGAT family)")
+        if apan_table == "auto":
+            # pre-projected K/V table pull for the APAN transformer
+            # updater: measured 61 -> ~40 ms/step at the headline (the
+            # [L, S, dr] raw-mail pull and its ~14 ms of layout copies
+            # disappear).  Identical math (matmul-then-gather); the
+            # bf16-packed storage layout has no f32 column view, so it
+            # keeps the per-instance pull.
+            apan_table = (getattr(model, "memory_updater", "gru")
+                          == "transformer")
+        self.apan_table = bool(apan_table)
         if gru_table == "auto":
             # Opt-in.  The per-node gate pre-projection
             # (ops/gru_gather.py) hoists the GRU's node-dependent
@@ -234,8 +240,7 @@ class Trainer:
             # (calibration samples the single-store path).
             auto_calibrate = (
                 (self.num_snapshots > 1 and self.window > 0)
-                or (model.use_memory
-                    and getattr(model, "memory_updater", "gru") == "gru")
+                or model.use_memory
                 or self._layer_dedup_ok())
         self._calibrated = not bool(auto_calibrate)
 
@@ -429,14 +434,22 @@ class Trainer:
             if new != self.compact_factor:
                 self.compact_factor = new
                 changed = True
-        if uniq_frac and getattr(self.model, "memory_updater",
-                                 "gru") == "gru":
+        if uniq_frac:
             u = stats["uniq_frac"]
-            # dedup machinery costs ~2 ms at L=132k; only worth it when
-            # the duplicate fraction is extreme (measured: loses at
-            # uniq_frac 0.17, see BASELINE.md)
-            new = round(min(0.35, 2.5 * u + 0.02), 2) if u <= 0.08 \
-                else None
+            if getattr(self.model, "memory_updater", "gru") == "gru":
+                # the GRU dedup saves only the GRU gates + pull; the
+                # sort machinery (~2 ms at L=132k) only pays when the
+                # duplicate fraction is extreme (measured: loses at
+                # uniq_frac 0.17, see BASELINE.md)
+                new = round(min(0.35, 2.5 * u + 0.02), 2) if u <= 0.08 \
+                    else None
+            else:
+                # transformer (APAN): dedup shrinks the ENTIRE updater
+                # (pull + K/V + attention + LayerNorm), measured 55 ->
+                # ~35 ms/step at uniq_frac ~0.13 (BASELINE.md round 3)
+                # — worth it up to much higher unique fractions
+                new = round(min(0.6, 2.5 * u + 0.05), 2) if u <= 0.25 \
+                    else None
             if new != self.dedup_factor:
                 self.dedup_factor = new
                 changed = True
@@ -511,6 +524,12 @@ class Trainer:
         it only pays off when the node table is small relative to the
         instance count (N << L it is ~60x redundancy at REDDIT scale; at
         GDELT scale N >> L and per-node work would dominate)."""
+        if self.apan_table and not memory.packed and \
+                getattr(self.model, "memory_updater", "gru") \
+                == "transformer":
+            # transformer updater: K/V pre-projection over the node
+            # table + one slim gather (ops/apan_kv.py)
+            return memory_lib.RawMemoryInput(state=memory)
         if self.gru_table and memory.mailbox_slots == 1 \
                 and memory.num_nodes <= 2 * mfg.num_all:
             return memory_lib.RawMemoryInput(state=memory)
