@@ -127,13 +127,20 @@ class _KindCache:
         self.table = table                       # master [N, dim]
         if self.distributed:
             # replicate the HBM cache buffer over the table's mesh so
-            # assembled fetches compose with mesh-sharded miss pulls
+            # assembled fetches compose with mesh-sharded miss pulls.
+            # Host-side values (ids, slots, masks) are placed the same
+            # way — in multi-PROCESS runs every jit input must be a
+            # global array, and the host bookkeeping is deterministic +
+            # batch-identical across processes, so replicated placement
+            # is correct.
             from jax.sharding import PartitionSpec as _P
             from gnnflow_tpu.parallel.kvstore import put_global
-            self.buffer = put_global(
-                np.zeros((max(self.capacity, 1), dim), np.float32),
-                table.mesh, _P())
+            self._dev = lambda x: put_global(np.asarray(x), table.mesh,
+                                             _P())
+            self.buffer = self._dev(
+                np.zeros((max(self.capacity, 1), dim), np.float32))
         else:
+            self._dev = jnp.asarray
             self.buffer = jnp.zeros((max(self.capacity, 1), dim),
                                     jnp.float32)     # HBM
         self.flag = np.zeros(num_ids, dtype=bool)
@@ -156,7 +163,7 @@ class _KindCache:
         if self.distributed:
             idsp = np.zeros(n, np.int64)
             idsp[:k] = ids
-            rows = self.table.pull(jnp.asarray(idsp))
+            rows = self.table.pull(self._dev(idsp))
             if k < n:
                 m = jnp.zeros((n, 1), rows.dtype).at[:k].set(1.0)
                 rows = rows * m
@@ -175,9 +182,10 @@ class _KindCache:
         if k == 0 or self.capacity == 0:
             return
         slots = np.arange(k)
-        self.buffer = _insert_fn()(
-            self.buffer, jnp.asarray(slots),
-            jnp.asarray(self._pull(ids), dtype=jnp.float32))
+        vals = self._pull(ids)
+        if not isinstance(vals, jax.Array):
+            vals = self._dev(np.asarray(vals, np.float32))
+        self.buffer = _insert_fn()(self.buffer, self._dev(slots), vals)
         self.flag[ids] = True
         self.map[ids] = slots
         self.rmap[:k] = ids
@@ -191,10 +199,12 @@ class _KindCache:
         self.total += n
         if self.capacity == 0 or n == 0:
             if self.distributed:
-                rows = self._pull(ids)[np.asarray(inv, np.int64)] \
-                    if n else jnp.zeros((len(inv), self.dim))
+                rows = self._pull(ids)[self._dev(
+                    np.asarray(inv, np.int64))] \
+                    if n else self._dev(
+                        np.zeros((len(inv), self.dim), np.float32))
                 self._last_miss = (np.zeros(0, np.int64), None)
-                return jnp.where(jnp.asarray(valid)[:, None], rows, 0.0)
+                return jnp.where(self._dev(valid)[:, None], rows, 0.0)
             rows = np.zeros((len(inv), self.dim), np.float32)
             np.copyto(rows, self.table[ids][inv] if n else 0)
             rows[~valid] = 0
@@ -219,11 +229,11 @@ class _KindCache:
             else miss_vals.astype(self._tdt)
         out = _assemble_fn(self.dim)(
             self.buffer, n_uniq,
-            jnp.asarray(hit_slots), jnp.asarray(hit_posp),
-            jnp.asarray(send),
-            jnp.asarray(miss_posp),
-            jnp.asarray(np.asarray(inv, np.int64)),
-            jnp.asarray(valid))
+            self._dev(hit_slots), self._dev(hit_posp),
+            send if isinstance(send, jax.Array) else self._dev(send),
+            self._dev(miss_posp),
+            self._dev(np.asarray(inv, np.int64)),
+            self._dev(valid))
         self._last_miss = (miss_idsp, miss_vals[: len(miss_pos)])
         return out
 
@@ -248,8 +258,8 @@ class _KindCache:
         else:
             vals_p = np.zeros((kb, self.dim), self._tdt)
             vals_p[:k] = miss_vals[:k]
-            vals_p = jnp.asarray(vals_p)
-        self.buffer = _insert_fn()(self.buffer, jnp.asarray(slots_p),
+            vals_p = self._dev(vals_p)
+        self.buffer = _insert_fn()(self.buffer, self._dev(slots_p),
                                    vals_p)
         self.flag[ids] = True
         self.map[ids] = slots

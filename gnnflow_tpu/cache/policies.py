@@ -108,6 +108,14 @@ class GNNLabStaticCache(Cache):
                    pre_sampling_rounds: int = 2, batch_size: int = 600,
                    **kwargs) -> None:
         if sampler is None or train_data is None:
+            # easy misconfiguration: without a sampler + training set
+            # there is nothing to pre-sample, and the "static" cache
+            # quietly becomes first-k seeding (a much weaker policy)
+            import logging
+            logging.getLogger(__name__).warning(
+                "GNNLabStaticCache.init_cache called without sampler/"
+                "train_data — falling back to first-k seeding (pass both "
+                "to get the presampled top-k policy)")
             super().init_cache()
             return
         node_counts = np.zeros(

@@ -49,6 +49,16 @@ parser.add_argument("--partition-strategy", default="hash",
                          "process derives the same table")
 parser.add_argument("--sampling-mode", default="routed",
                     choices=["routed", "replicated"])
+parser.add_argument("--cache", default=None,
+                    help="LRUCache|LFUCache|FIFOCache — features stay in "
+                         "the process-spanning sharded KV store and reach "
+                         "the model through a cache buffer (misses = "
+                         "sharded pulls), the reference's KV-backed cache "
+                         "(gnnflow/cache/cache.py:364-377). Each process "
+                         "keeps a full graph replica for host sampling "
+                         "(the per-machine shared graph).")
+parser.add_argument("--edge-cache-ratio", type=float, default=0.2)
+parser.add_argument("--node-cache-ratio", type=float, default=0.2)
 parser.add_argument("--ingestion-batch-size", type=int, default=100_000)
 parser.add_argument("--synthetic-edges", type=int, default=50_000)
 parser.add_argument("--max-steps", type=int, default=0,
@@ -146,6 +156,47 @@ def main():
                                store.edge_array, num_nodes=num_nodes)
     logging.info("state initialized (first compile done)")
 
+    cache = sampler = None
+    if args.cache:
+        # multi-process KV-backed cache: every process replays the full
+        # edge stream into a LOCAL graph replica (the reference's
+        # per-machine shared graph) and samples on host; the feature
+        # MASTERS stay sharded across the processes (store.*_table) and
+        # cache misses become sharded pulls over the global mesh.
+        from gnnflow_tpu.cache import CACHES
+        from gnnflow_tpu.dynamic_graph import build_dynamic_graph
+        from gnnflow_tpu.parallel.kvstore import put_global
+        from gnnflow_tpu.temporal_sampler import TemporalSampler
+
+        local_g = build_dynamic_graph(**data_config)
+        step = args.ingestion_batch_size
+        for lo in range(0, len(full), step):
+            chunk = full[lo: lo + step]
+            local_g.add_edges(chunk.src, chunk.dst, chunk.time,
+                              chunk.eid,
+                              add_reverse=data_config["undirected"])
+        sampler = TemporalSampler(local_g, **sampler_kwargs)
+        cache = CACHES[args.cache](
+            args.edge_cache_ratio, args.node_cache_ratio, num_nodes,
+            len(full),
+            store.node_table if node_feats is not None else None,
+            store.edge_table if edge_feats is not None else None)
+        cache.init_cache()
+
+        def glob(x):
+            return put_global(np.asarray(x), mesh, P())
+
+        def cached_step(state, batch, train):
+            mfgs = sampler.sample(batch.target_nodes, batch.ts)
+            nfs, efs = cache.fetch_feature(mfgs, batch.eids)
+            mfgs_g = jax.tree.map(glob, mfgs)
+            valid = np.zeros(batch.batch_size, bool)
+            valid[: batch.num_valid] = True
+            return trainer._pre_step(
+                state, mfgs_g, nfs, efs, cache.target_edge_features,
+                glob(np.asarray(batch.eids, np.int32)), glob(valid),
+                train)
+
     train_neg = DstRandEdgeSampler(train_data.dst, seed=args.seed)
     val_neg = DstRandEdgeSampler(full.dst, seed=args.seed + 1)
     rng = np.random.RandomState(args.seed)
@@ -169,9 +220,18 @@ def main():
         if epoch > 0 and state.memory is not None:
             state = state.replace(
                 memory=memory_lib.reset_memory(state.memory))
+        if cache is not None:
+            cache.reset()
         last_loss = None
         for i, batch in enumerate(get_batches(train_data, batch_size,
                                               train_neg, rng=rng)):
+            if cache is not None:
+                state, loss, _, _ = cached_step(state, batch, True)
+                total += 3 * batch.num_valid
+                last_loss = loss
+                if args.max_steps and i + 1 >= args.max_steps:
+                    break
+                continue
             if args.sampling_mode == "routed":
                 # per-owner routed-load observability (the reference's
                 # sampling-time CV analogue, dist_sampler.py:108-127);
@@ -199,8 +259,11 @@ def main():
         scores, labels = [], []
         for i, batch in enumerate(get_batches(val_data, batch_size,
                                               val_neg)):
-            state, _, pos, neg = trainer.eval_step(
-                state, dg, store.node_array, store.edge_array, batch)
+            if cache is not None:
+                state, _, pos, neg = cached_step(state, batch, False)
+            else:
+                state, _, pos, neg = trainer.eval_step(
+                    state, dg, store.node_array, store.edge_array, batch)
             k = batch.num_valid
             scores += [to_host(pos)[:k], to_host(neg)[:k]]
             labels += [np.ones(k), np.zeros(k)]
@@ -213,6 +276,9 @@ def main():
         logging.info("epoch %d: %.2fs, %.0f samples/s, loss %.6f, "
                      "val ap %.4f auc %.4f", epoch, dt, total / dt,
                      last, ap, auc)
+        if cache is not None:
+            logging.info("cache node hit %.3f edge hit %.3f",
+                         cache.cache_node_ratio, cache.cache_edge_ratio)
         print(f"RESULT epoch={epoch} loss={last:.6f} ap={ap:.6f}",
               flush=True)
     shutdown()

@@ -29,7 +29,8 @@ def _free_port() -> int:
     return port
 
 
-def _launch(nproc: int, pid: int, port: int, local_devices: int):
+def _launch(nproc: int, pid: int, port: int, local_devices: int,
+            extra=()):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}")
@@ -39,7 +40,7 @@ def _launch(nproc: int, pid: int, port: int, local_devices: int):
          "--coordinator", f"localhost:{port}",
          "--num-processes", str(nproc), "--process-id", str(pid),
          "--platform", "cpu", "--epoch", "2",
-         "--synthetic-edges", "12000", "--max-steps", "3"],
+         "--synthetic-edges", "12000", "--max-steps", "3", *extra],
         cwd=REPO, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True)
 
@@ -75,3 +76,39 @@ def test_two_processes_match_single_process():
                                    err_msg=f"loss mismatch at epoch {e}")
         np.testing.assert_allclose(rs[e][1], r0[e][1], rtol=2e-3,
                                    err_msg=f"AP mismatch at epoch {e}")
+
+
+@pytest.mark.timeout(600)
+def test_two_process_cached_matches_single_process():
+    """KV-backed cache across real OS processes (the reference's
+    distributed cache, ``gnnflow/cache/cache.py:364-377``): feature
+    masters sharded over the 2-process mesh, misses = sharded pulls,
+    training loss-identical to the single-process cached run."""
+    extra = ("--cache", "LRUCache", "--edge-cache-ratio", "0.3")
+    port = _free_port()
+    procs = [_launch(2, i, port, local_devices=4, extra=extra)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=480)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    r0, r1 = _results(outs[0]), _results(outs[1])
+    assert r0 == r1
+    assert "edge hit" in outs[0]  # the cache path actually ran
+
+    p = _launch(1, 0, _free_port(), local_devices=8, extra=extra)
+    out, _ = p.communicate(timeout=480)
+    assert p.returncode == 0, out[-3000:]
+    rs = _results(out)
+    assert set(rs) == set(r0)
+    for e in rs:
+        np.testing.assert_allclose(rs[e][0], r0[e][0], rtol=2e-4,
+                                   err_msg=f"loss mismatch at epoch {e}")
+        np.testing.assert_allclose(rs[e][1], r0[e][1], rtol=2e-3,
+                                   err_msg=f"AP mismatch at epoch {e}")
+    # the 2-process and 1-process cache replicas see identical streams,
+    # so hit accounting must match exactly
+    hit = re.findall(r"edge hit ([\d.]+)", outs[0])
+    hit1 = re.findall(r"edge hit ([\d.]+)", out)
+    assert hit == hit1 and len(hit) == 2
