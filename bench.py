@@ -87,14 +87,18 @@ def run_model_matrix(jax, jnp, dg, g, full, train, nf, ef, dim_node,
             staged, _ = _stage_batches(get_batches, train, B, neg, jnp,
                                        limit=8)
             tn, ts, eids, valid = staged[0]
-            s = trainer._train_step(state, dg, nfd, ef, tn, ts, eids,
-                                    valid, True)
+            # train_step_arrays (not _train_step): the public wrapper
+            # triggers first-batch auto-calibration, i.e. the production
+            # path (layer_dedup for TGAT, transformer dedup for APAN,
+            # window compaction for DySAT)
+            s = trainer.train_step_arrays(state, dg, nfd, ef, tn, ts,
+                                          eids, valid, True)
             float(s[1])  # warmup ends with a value fetch
             state = s[0]
             t0 = time.perf_counter()
             for i in range(repeats):
                 tn, ts, eids, valid = staged[i % len(staged)]
-                state, loss, _, _ = trainer._train_step(
+                state, loss, _, _ = trainer.train_step_arrays(
                     state, dg, nfd, ef, tn, ts, eids, valid, True)
             float(loss)
             dt = (time.perf_counter() - t0) / repeats

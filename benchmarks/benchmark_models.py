@@ -80,14 +80,16 @@ def main():
                             jnp.asarray(b.eids, jnp.int32)))
         valid = jnp.ones((B,), bool)
         tn, ts, eids = batches[0]
-        s = trainer._train_step(state, dg, nfd, ef, tn, ts, eids,
-                                valid, True)
+        # public wrapper => first-batch auto-calibration (the production
+        # path: layer_dedup/window-compaction/transformer-dedup factors)
+        s = trainer.train_step_arrays(state, dg, nfd, ef, tn, ts, eids,
+                                      valid, True)
         _ = float(s[1])
         state = s[0]
         t0 = time.perf_counter()
         for i in range(args.repeats):
             btn, bts, beids = batches[i % len(batches)]
-            state, loss, _, _ = trainer._train_step(
+            state, loss, _, _ = trainer.train_step_arrays(
                 state, dg, nfd, ef, btn, bts, beids, valid, True)
         lv = float(loss)
         dt = (time.perf_counter() - t0) / args.repeats

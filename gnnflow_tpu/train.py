@@ -351,7 +351,7 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def calibrate(self, dg: DeviceGraph, batches, *, key=None,
-                  max_batches: int = 3) -> dict:
+                  max_batches: int = 3, occ_batches=()) -> dict:
         """Choose the static compaction knobs from measured batch stats.
 
         ``compact_factor`` (inter-layer sampling compaction) and
@@ -423,6 +423,23 @@ class Trainer:
                         pairs = np.stack([nid[va], mts[va]], 1)
                         u = np.unique(pairs, axis=0).shape[0]
                         boundary_frac.append(u / max(nid.size, 1))
+        # occupancy-only pseudo-batches (e.g. stream-end timestamps, the
+        # worst-case window fill): they bound the compaction caps but
+        # would corrupt the uniqueness stats (synthetic timestamps make
+        # every (nid, ts) pair distinct)
+        for roots, ts in occ_batches:
+            if self.num_snapshots <= 1 or self.window <= 0:
+                break
+            mfgs = sample_hops(
+                dg, jnp.asarray(roots, jnp.int32),
+                jnp.asarray(ts, jnp.float32), fanouts=self.fanouts,
+                strategy=self.strategy, num_snapshots=self.num_snapshots,
+                window=self.window, prop_time=self.prop_time,
+                search_iters=self._iters(dg), compact_factor=None,
+                key=key)
+            for layer in mfgs[1:]:
+                for m in layer:
+                    occ.append(float(np.asarray(m.nbr_mask).mean()))
         stats = {"occupancy": max(occ) if occ else None,
                  "uniq_frac": max(uniq_frac) if uniq_frac else None,
                  "boundary_uniq_frac": max(boundary_frac)
@@ -484,7 +501,16 @@ class Trainer:
         if self._calibrated:
             return
         import logging
-        stats = self.calibrate(dg, [(roots, ts)], max_batches=1)
+        # window occupancy GROWS over the stream — a first-batch cap
+        # would overflow later batches into the fallback every step.
+        # Re-measure the same roots at the stream-end timestamp (the
+        # store is ingested, so this is the worst-case window fill) as
+        # an occupancy-ONLY pseudo-batch: synthetic late timestamps
+        # would corrupt the (nid, ts) uniqueness stats.
+        ts_arr = jnp.asarray(ts, jnp.float32)
+        ts_end = jnp.full_like(ts_arr, jnp.max(dg.e_ts))
+        stats = self.calibrate(dg, [(roots, ts)], max_batches=1,
+                               occ_batches=[(roots, ts_end)])
         logging.getLogger(__name__).info("auto-calibration: %s", stats)
 
     def _dedup_cap(self, num_all: int) -> int:
