@@ -154,17 +154,11 @@ class DGNN(nn.Module):
                         if spec[0] == "rows":
                             # (nid, ts)-dedup compaction: expand unique-
                             # instance embeddings to per-instance rows
-                            # (exact scatter-free transpose)
+                            # (exact scatter-free transpose); stacked
+                            # specs = per-snapshot dedup
                             from gnnflow_tpu.ops.segment_pallas import \
-                                expand_compact
-                            _, inv, sidx, rank_sorted = spec
-                            d = rst.shape[-1]
-                            pad = (-d) % 128
-                            rp = jnp.pad(rst, ((0, 0), (0, pad))) \
-                                if pad else rst
-                            rst = expand_compact(rp, inv, sidx,
-                                                 rank_sorted)
-                            rst = rst[:, :d] if pad else rst
+                                expand_rows_spec
+                            rst = expand_rows_spec(rst, spec, h)
                         else:
                             # windowed-snapshot block compaction
                             from gnnflow_tpu.ops.segment_pallas import \

@@ -124,13 +124,21 @@ class SAGE(nn.Module):
     def __call__(self, mfgs: List[List[MFG]],
                  node_feats: List[Optional[jax.Array]],
                  edge_feats=None, mem_input=None, train: bool = False,
-                 return_embed: bool = False):
+                 return_embed: bool = False, expansions=None):
         h = node_feats[0]
         for l in range(self.num_layers):
             h = SAGEConv(self.dim_embed, self.aggregator,
                          name=f"l{l}h0")(mfgs[l][0], h)
             if l != self.num_layers - 1:
                 h = nn.relu(h)
+                if expansions is not None and \
+                        expansions[l] is not None:
+                    # nid-dedup compaction (static ts are all +inf, so
+                    # unique (nid, ts) = unique nid): expand the compact
+                    # layer output to the parent's per-instance rows
+                    from gnnflow_tpu.ops.segment_pallas import \
+                        expand_rows_spec
+                    h = expand_rows_spec(h, expansions[l])
         if return_embed:
             return h, None
         b = h.shape[0] // 3
@@ -155,7 +163,7 @@ class GAT(nn.Module):
     def __call__(self, mfgs: List[List[MFG]],
                  node_feats: List[Optional[jax.Array]],
                  edge_feats=None, mem_input=None, train: bool = False,
-                 return_embed: bool = False):
+                 return_embed: bool = False, expansions=None):
         if self.num_layers != len(self.attn_head):
             raise ValueError("length of attn_head must equal num_layers")
         h = node_feats[0]
@@ -165,6 +173,11 @@ class GAT(nn.Module):
                           name=f"l{l}h0")(mfgs[l][0], h, train=train)
             if l != self.num_layers - 1:
                 h = nn.elu(out.reshape(out.shape[0], -1))  # flatten heads
+                if expansions is not None and \
+                        expansions[l] is not None:
+                    from gnnflow_tpu.ops.segment_pallas import \
+                        expand_rows_spec
+                    h = expand_rows_spec(h, expansions[l])
             else:
                 h = jnp.mean(out, axis=1)                  # mean heads
         if return_embed:

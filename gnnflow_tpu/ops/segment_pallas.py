@@ -257,3 +257,21 @@ def _expand_blocks_bwd(cap, fanout, res, g):
 
 
 expand_blocks.defvjp(_expand_blocks_fwd, _expand_blocks_bwd)
+
+
+def expand_rows_spec(rst: jax.Array, spec, h: int = 0) -> jax.Array:
+    """Apply a ``("rows", inv, sidx, rank_sorted)`` dedup-expansion spec
+    to compact layer-output embeddings ``rst`` [cap, d].
+
+    Lane-pads ``d`` to a 128 multiple around :func:`expand_compact` (the
+    sorted-segment-sum VJP needs lane-aligned rows) and slices back.
+    Stacked per-snapshot specs (``inv.ndim == 2``, produced by the
+    windowed multi-snapshot dedup) are indexed by snapshot ``h``."""
+    _, inv, sidx, rank_sorted = spec
+    if inv.ndim == 2:
+        inv, sidx, rank_sorted = inv[h], sidx[h], rank_sorted[h]
+    d = rst.shape[-1]
+    pad = (-d) % 128
+    rp = jnp.pad(rst, ((0, 0), (0, pad))) if pad else rst
+    out = expand_compact(rp, inv, sidx, rank_sorted)
+    return out[:, :d] if pad else out

@@ -45,6 +45,8 @@ def shard_trainer(trainer: Trainer, mesh: Mesh,
             "(the (nid, ts) dedup sort would all-gather batch-sharded "
             "MFGs under GSPMD)", trainer.dedup_factor)
         trainer.dedup_factor = None
+    # ... and keep a later (auto-)calibrate() from re-enabling it
+    trainer._auto_knobs["dedup"] = False
     # funnel through _rejit so a later (auto-)calibrate() keeps the
     # DP shardings when it rebuilds the step
     trainer._jit_train_kwargs = dict(in_shardings=in_shardings,

@@ -140,6 +140,11 @@ class Trainer:
         self.num_snapshots = int(num_snapshots)
         self.window = float(snapshot_time_window)
         self.prop_time = bool(prop_time)
+        # calibration only re-picks knobs the user left on "auto" —
+        # explicit values (including explicit None) are a decision
+        self._auto_knobs = {"compact": compact_factor == "auto",
+                            "dedup": dedup_factor == "auto",
+                            "layer_dedup": layer_dedup == "auto"}
         if compact_factor == "auto":
             # windowed multi-snapshot configs leave most neighbor slots
             # empty — compact deeper sampling layers (see sampling.py)
@@ -188,8 +193,9 @@ class Trainer:
         self.layer_dedup = layer_dedup
         if self.layer_dedup is not None and not self._layer_dedup_ok():
             raise ValueError(
-                "layer_dedup requires a multi-layer single-snapshot "
-                "DGNN without memory (TGAT family)")
+                "layer_dedup requires a multi-layer DGNN without memory "
+                "(TGAT family; windowed multi-snapshot DySAT family) or "
+                "a multi-layer static SAGE/GAT")
         if apan_table == "auto":
             # pre-projected K/V table pull for the APAN transformer
             # updater: measured 61 -> ~40 ms/step at the headline (the
@@ -249,11 +255,20 @@ class Trainer:
 
     def _layer_dedup_ok(self) -> bool:
         """Is this a config the deeper-layer (nid, ts) dedup supports?
-        Multi-layer single-snapshot DGNN without memory (TGAT family);
-        static models (SAGE/GAT classes) have no expansion hook."""
-        return (isinstance(self.model, DGNN) and not self.is_static
-                and self.num_snapshots == 1 and len(self.fanouts) >= 2
-                and not self.model.use_memory)
+        Multi-layer DGNN without memory — single-snapshot (TGAT family,
+        :meth:`_layer_dedup_outputs`) or windowed multi-snapshot (DySAT
+        family, :meth:`_snapshot_dedup_outputs`, per-snapshot dedup) —
+        and multi-layer static SAGE/GAT, where ts = +inf makes the
+        dedup key nid-only (measured uniq ~8% of instances at the
+        REDDIT-scale static config)."""
+        if len(self.fanouts) < 2:
+            return False
+        if isinstance(self.model, DGNN):
+            return (not self.is_static and not self.model.use_memory
+                    and (self.num_snapshots == 1 or self.window > 0))
+        from gnnflow_tpu.models.static import GAT, SAGE
+        return (isinstance(self.model, (SAGE, GAT)) and self.is_static
+                and self.num_snapshots == 1)
 
     def _rejit(self):
         """(Re)build the jitted steps — the single place calibration and
@@ -423,10 +438,12 @@ class Trainer:
                         pairs = np.stack([nid[va], mts[va]], 1)
                         u = np.unique(pairs, axis=0).shape[0]
                         boundary_frac.append(u / max(nid.size, 1))
-        # occupancy-only pseudo-batches (e.g. stream-end timestamps, the
-        # worst-case window fill): they bound the compaction caps but
-        # would corrupt the uniqueness stats (synthetic timestamps make
-        # every (nid, ts) pair distinct)
+        # worst-case pseudo-batches (the first batch's ts pattern
+        # SHIFTED to the stream end — realistic timestamp multiplicity,
+        # maximal window fill): they bound the window-dependent caps
+        # (occupancy, boundary uniqueness) but are kept out of the
+        # memory uniq stats (the memory dedup keys on mail timestamps,
+        # which a shifted batch would not reproduce)
         for roots, ts in occ_batches:
             if self.num_snapshots <= 1 or self.window <= 0:
                 break
@@ -440,18 +457,25 @@ class Trainer:
             for layer in mfgs[1:]:
                 for m in layer:
                     occ.append(float(np.asarray(m.nbr_mask).mean()))
+                    if self._layer_dedup_ok():
+                        nid = np.asarray(m.all_nodes())
+                        mts = np.asarray(m.all_ts()).view(np.int32)
+                        va = np.asarray(m.all_mask())
+                        pairs = np.stack([nid[va], mts[va]], 1)
+                        u = np.unique(pairs, axis=0).shape[0]
+                        boundary_frac.append(u / max(nid.size, 1))
         stats = {"occupancy": max(occ) if occ else None,
                  "uniq_frac": max(uniq_frac) if uniq_frac else None,
                  "boundary_uniq_frac": max(boundary_frac)
                  if boundary_frac else None}
         changed = False
-        if occ:
+        if occ and self._auto_knobs["compact"]:
             o = stats["occupancy"]
             new = round(min(0.9, 1.4 * o + 0.02), 2) if o < 0.6 else None
             if new != self.compact_factor:
                 self.compact_factor = new
                 changed = True
-        if uniq_frac:
+        if uniq_frac and self._auto_knobs["dedup"]:
             u = stats["uniq_frac"]
             if getattr(self.model, "memory_updater", "gru") == "gru":
                 # the GRU dedup saves only the GRU gates + pull; the
@@ -470,15 +494,28 @@ class Trainer:
             if new != self.dedup_factor:
                 self.dedup_factor = new
                 changed = True
-        if boundary_frac:
+        if boundary_frac and self._auto_knobs["layer_dedup"]:
             u = stats["boundary_uniq_frac"]
-            # deeper-layer dedup measured 61 -> 32-36 ms/step for TGAT
-            # 2-layer @ 4000 on v5e at uniq_frac 0.09-0.14 (BASELINE.md
-            # round 3); ~2.5x headroom over the measured fraction keeps
-            # the lax.cond on the fast branch.  Past ~0.35 unique the
-            # sort/expand machinery stops paying — disable.
-            new = round(min(0.9, 2.5 * u + 0.06), 2) if u <= 0.35 \
-                else None
+            if self.num_snapshots == 1:
+                # deeper-layer dedup measured 61 -> 32-36 ms/step for
+                # TGAT 2-layer @ 4000 on v5e at uniq_frac 0.09-0.14
+                # (BASELINE.md round 3); ~2.5x headroom over the
+                # measured fraction keeps the lax.cond on the fast
+                # branch.  Past ~0.35 unique the sort/expand machinery
+                # stops paying — disable.
+                new = round(min(0.9, 2.5 * u + 0.06), 2) if u <= 0.35 \
+                    else None
+            else:
+                # per-snapshot dedup (DySAT family): the worst case is
+                # measured directly (stream-end-shifted pseudo-batch),
+                # so less headroom; only worth choosing when its
+                # capacity beats the occupancy-based block compaction
+                # (it additionally pays S dedup sorts)
+                new = round(min(0.9, 1.6 * u + 0.05), 2) if u <= 0.45 \
+                    else None
+                if new is not None and self.compact_factor is not None \
+                        and new >= 0.9 * self.compact_factor:
+                    new = None   # block compaction is at least as tight
             if new != self.layer_dedup:
                 self.layer_dedup = new
                 changed = True
@@ -501,14 +538,15 @@ class Trainer:
         if self._calibrated:
             return
         import logging
-        # window occupancy GROWS over the stream — a first-batch cap
-        # would overflow later batches into the fallback every step.
-        # Re-measure the same roots at the stream-end timestamp (the
-        # store is ingested, so this is the worst-case window fill) as
-        # an occupancy-ONLY pseudo-batch: synthetic late timestamps
-        # would corrupt the (nid, ts) uniqueness stats.
+        # window occupancy (and boundary uniqueness) GROW over the
+        # stream — a first-batch cap would overflow later batches into
+        # the fallback every step.  Re-measure the same roots with the
+        # batch's ts pattern SHIFTED to the stream end (the store is
+        # ingested, so this is the worst-case window fill while keeping
+        # a realistic timestamp multiplicity for the per-snapshot
+        # (nid, ts) uniqueness stats).
         ts_arr = jnp.asarray(ts, jnp.float32)
-        ts_end = jnp.full_like(ts_arr, jnp.max(dg.e_ts))
+        ts_end = ts_arr + (jnp.max(dg.e_ts) - jnp.max(ts_arr))
         stats = self.calibrate(dg, [(roots, ts)], max_batches=1,
                                occ_batches=[(roots, ts_end)])
         logging.getLogger(__name__).info("auto-calibration: %s", stats)
@@ -522,7 +560,7 @@ class Trainer:
         """Model fwd (+bwd when training) for a given memory-input/node-
         feature representation.  Returns ``(loss, pos, neg, last, grads)``
         (``grads`` None in eval)."""
-        # static models (SAGE/GAT) don't take the expansions kwarg
+        # only pass the kwarg when a compaction path produced specs
         extra = {"expansions": expansions} if expansions is not None \
             else {}
 
@@ -768,6 +806,98 @@ class Trainer:
 
         return chain(1, [mfg0], [None])
 
+    def _snapshot_dedup_outputs(self, state, dg, roots, sample_ts,
+                                ksample, kdrop, valid, train,
+                                node_feats, edge_feats):
+        """Windowed multi-snapshot (nid, ts)-dedup fast path (DySAT
+        family): each snapshot's deeper layer samples only the UNIQUE
+        ``(nid, ts)`` instances of that snapshot's parent ``all_nodes``
+        (the snapshot window is a pure function of the pair and the
+        snapshot index, so duplicates sample identically), and the
+        layer's output embeddings expand back per snapshot at the
+        boundary.  Strictly tighter than the occupancy-based block
+        compaction (:meth:`_model_compact_outputs`): dedup drops invalid
+        rows AND duplicate pairs — measured ~31% unique vs ~60% valid at
+        the DySAT w=10000 headline.  Any snapshot overflowing its cap
+        falls back to the padded path for the remaining layers
+        (``lax.cond``); results never change (up to dropout/uniform-RNG
+        draw assignment).  Reference semantics:
+        ``gnnflow/config.py:61-76`` (DySAT),
+        ``temporal_sampler.cu`` snapshot windows."""
+        from gnnflow_tpu.ops.dedup import dedup_instances
+        from gnnflow_tpu.ops.sampling import sample_layer_snapshots
+        dn = getattr(self.model, "dim_node", 0)
+        de = getattr(self.model, "dim_edge", 0)
+        factor = float(self.layer_dedup)
+        S = self.num_snapshots
+        L = len(self.fanouts)
+        kw = dict(strategy=self.strategy, num_snapshots=S,
+                  window=self.window, prop_time=self.prop_time,
+                  search_iters=self._iters(dg))
+        keys = [jax.random.fold_in(ksample, i) if ksample is not None
+                else None for i in range(L)]
+        R = jnp.stack([roots] * S)
+        T = jnp.stack([sample_ts] * S)
+        mfgs0 = sample_layer_snapshots(
+            dg, R, T, fanout=self.fanouts[0], shared_roots=True,
+            key=keys[0], **kw)
+
+        def run(mfgs_list, expans):
+            cm = list(reversed(mfgs_list))
+            exps = list(reversed(expans))
+            nfs, efs = fetch_features(cm, node_feats, edge_feats,
+                                      dn or None, de or None)
+            return self._run_model(
+                state, cm, efs, kdrop, valid, train, None, nfs,
+                expansions=exps if any(e is not None for e in exps)
+                else None)
+
+        def chain(layer, mfgs_list, expans):
+            if layer == L:
+                return run(mfgs_list, expans)
+            prev = mfgs_list[-1]                       # S MFGs
+            La = prev[0].num_all
+            cap = min(La, -(-math.ceil(factor * La) // 256) * 256)
+            dd = [dedup_instances(m.all_nodes(), m.all_ts(),
+                                  m.all_mask(), cap) for m in prev]
+            n_max = dd[0][3]
+            for d in dd[1:]:
+                n_max = jnp.maximum(n_max, d[3])
+
+            def fast(_):
+                slot = jnp.arange(cap, dtype=jnp.int32)
+                # unused compact slots -> invalid roots (masked rows)
+                Rn = jnp.stack([jnp.where(slot < d[3], d[0],
+                                          jnp.int32(-1)) for d in dd])
+                Tn = jnp.stack([d[1] for d in dd])
+                inner = sample_layer_snapshots(
+                    dg, Rn, Tn, fanout=self.fanouts[layer],
+                    key=keys[layer], **kw)
+                spec = ("rows",
+                        jnp.stack([d[2] for d in dd]),   # inv [S, La]
+                        jnp.stack([d[4] for d in dd]),   # sidx
+                        jnp.stack([d[5] for d in dd]))   # rank_sorted
+                return chain(layer + 1, mfgs_list + [inner],
+                             expans + [spec])
+
+            def full(_):
+                ms, es = list(mfgs_list), list(expans)
+                per = [(m.all_nodes(), m.all_ts()) for m in ms[-1]]
+                for li in range(layer, L):
+                    Rf = jnp.stack([r for r, _ in per])
+                    Tf = jnp.stack([t for _, t in per])
+                    lm = sample_layer_snapshots(
+                        dg, Rf, Tf, fanout=self.fanouts[li],
+                        key=keys[li], **kw)
+                    ms.append(lm)
+                    es.append(None)
+                    per = [(m.all_nodes(), m.all_ts()) for m in lm]
+                return run(ms, es)
+
+            return jax.lax.cond(n_max <= cap, fast, full, None)
+
+        return chain(1, [mfgs0], [None])
+
     def _step(self, state: TrainState, dg: DeviceGraph,
               node_feats, edge_feats,
               target_nodes, ts, eids, valid, train: bool):
@@ -781,7 +911,15 @@ class Trainer:
         # compact_factor=None at high occupancy to DISABLE compaction —
         # honoring that here keeps the padded path single-branch instead
         # of compiling a compact branch that overflows every step.
-        if self.model_compact and self.compact_factor is not None \
+        if self.layer_dedup is not None and self.num_snapshots > 1 \
+                and type(self) is Trainer:
+            # per-snapshot (nid, ts) dedup: strictly tighter than the
+            # occupancy block compaction below (calibrate() picks it
+            # only when its capacity beats the occupancy factor)
+            loss, pos, neg, last, grads = self._snapshot_dedup_outputs(
+                state, dg, roots32, sample_ts, ksample, kdrop, valid,
+                train, node_feats, edge_feats)
+        elif self.model_compact and self.compact_factor is not None \
                 and type(self) is Trainer:
             loss, pos, neg, last, grads = self._model_compact_outputs(
                 state, dg, roots32, sample_ts, ksample, kdrop, valid,
