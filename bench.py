@@ -41,12 +41,23 @@ HBM_BYTES_PER_SEC = 819e9       # v5e HBM bandwidth
 GATHER_NS_PER_ROW = 9.0         # measured v5e row-gather latency floor
 
 
-def _stage_batches(get_batches, train, batch_size, neg, jnp, limit=None):
+def _stage_batches(get_batches, train, batch_size, neg, jnp, limit=None,
+                   spread=False):
+    """``spread=True`` takes ``limit`` batches strided across the epoch
+    instead of the first ``limit`` — early batches sample from short
+    histories and under-represent the steady-state step cost."""
+    stride = 1
+    if spread and limit:
+        stride = max(1, (len(train) // batch_size) // limit)
     staged = []
     total = 0
+    taken = 0
     for i, batch in enumerate(get_batches(train, batch_size, neg)):
-        if limit is not None and i >= limit:
+        if spread and i % stride:
+            continue
+        if limit is not None and taken >= limit:
             break
+        taken += 1
         valid = np.zeros(batch.batch_size, bool)
         valid[: batch.num_valid] = True
         staged.append((
@@ -85,7 +96,7 @@ def run_model_matrix(jax, jnp, dg, g, full, train, nf, ef, dim_node,
             state = trainer.init_state(jax.random.PRNGKey(0), dg, B, nfd,
                                        ef, num_nodes=g.max_vertex_id() + 1)
             staged, _ = _stage_batches(get_batches, train, B, neg, jnp,
-                                       limit=8)
+                                       limit=8, spread=True)
             tn, ts, eids, valid = staged[0]
             # train_step_arrays (not _train_step): the public wrapper
             # triggers first-batch auto-calibration, i.e. the production

@@ -82,12 +82,15 @@ def capture():
                         jnp.asarray(b.eids, jnp.int32)))
     valid = jnp.ones((B,), bool)
     tn, ts, eids = batches[0]
-    s = tr._train_step(state, dg, nf, ef, tn, ts, eids, valid, True)
+    # public wrapper => first-batch auto-calibration (the production
+    # path: layer_dedup / window compaction / transformer dedup)
+    s = tr.train_step_arrays(state, dg, nf, ef, tn, ts, eids, valid,
+                             True)
     _ = float(s[1])   # compile + settle (value fetch, not block_until_ready)
     state = s[0]
     with jax.profiler.trace(args.out):
         for btn, bts, beids in batches:
-            state, loss, _, _ = tr._train_step(
+            state, loss, _, _ = tr.train_step_arrays(
                 state, dg, nf, ef, btn, bts, beids, valid, True)
         _ = float(loss)
 

@@ -258,9 +258,13 @@ class Trainer:
         Multi-layer DGNN without memory — single-snapshot (TGAT family,
         :meth:`_layer_dedup_outputs`) or windowed multi-snapshot (DySAT
         family, :meth:`_snapshot_dedup_outputs`, per-snapshot dedup) —
-        and multi-layer static SAGE/GAT, where ts = +inf makes the
-        dedup key nid-only (measured uniq ~8% of instances at the
-        REDDIT-scale static config)."""
+        and multi-layer static SAGE/GAT.  NB: like the reference
+        (``temporal_sampler.py:108-110``), static deeper layers sample
+        at the parent EDGE's timestamp, so the key stays (nid, ts);
+        with uniform sampling from long histories those pairs are
+        mostly unique (measured 0.82 at the REDDIT-scale static
+        config) and calibration disables the path — it pays off for
+        recent-strategy / short-history static streams."""
         if len(self.fanouts) < 2:
             return False
         if isinstance(self.model, DGNN):
@@ -440,24 +444,48 @@ class Trainer:
                         boundary_frac.append(u / max(nid.size, 1))
         # worst-case pseudo-batches (the first batch's ts pattern
         # SHIFTED to the stream end — realistic timestamp multiplicity,
-        # maximal window fill): they bound the window-dependent caps
-        # (occupancy, boundary uniqueness) but are kept out of the
-        # memory uniq stats (the memory dedup keys on mail timestamps,
-        # which a shifted batch would not reproduce)
+        # maximal window fill and history length): none of the
+        # compaction stats are stream-stationary, so these bound every
+        # cap (window occupancy, boundary uniqueness, memory-instance
+        # uniqueness) at the stream's worst case
+        windowed = self.num_snapshots > 1 and self.window > 0
         for roots, ts in occ_batches:
-            if self.num_snapshots <= 1 or self.window <= 0:
+            if not windowed and not self._layer_dedup_ok() \
+                    and not self.model.use_memory:
                 break
+            ts_b = jnp.asarray(ts, jnp.float32)
+            if self.is_static:
+                ts_b = jnp.full_like(ts_b, np.float32(3.4e38))
             mfgs = sample_hops(
-                dg, jnp.asarray(roots, jnp.int32),
-                jnp.asarray(ts, jnp.float32), fanouts=self.fanouts,
+                dg, jnp.asarray(roots, jnp.int32), ts_b,
+                fanouts=self.fanouts,
                 strategy=self.strategy, num_snapshots=self.num_snapshots,
                 window=self.window, prop_time=self.prop_time,
                 search_iters=self._iters(dg), compact_factor=None,
                 key=key)
+            if self.model.use_memory:
+                # memory-instance uniqueness is NOT stream-stationary
+                # either (recent picks overlap less as histories grow:
+                # measured 0.09 -> 0.44 over the synthetic REDDIT-scale
+                # epoch) — the worst case sizes the dedup cap
+                m = mfgs[0][0]
+                nid = np.asarray(m.all_nodes())
+                mts = np.asarray(m.all_ts()).view(np.int32)
+                va = np.asarray(m.all_mask())
+                pairs = np.stack([nid[va], mts[va]], 1)
+                u = np.unique(pairs, axis=0).shape[0]
+                uniq_frac.append(u / max(nid.size, 1))
             for layer in mfgs[1:]:
                 for m in layer:
-                    occ.append(float(np.asarray(m.nbr_mask).mean()))
+                    if windowed:
+                        occ.append(float(np.asarray(m.nbr_mask).mean()))
                     if self._layer_dedup_ok():
+                        # boundary uniqueness is NOT stream-stationary:
+                        # uniform picks from a growing history make
+                        # late-stream pairs nearly all unique (measured
+                        # 0.09 -> 0.83 over the synthetic REDDIT-scale
+                        # epoch) — the worst-case pseudo-batch decides
+                        # whether dedup can hold at all
                         nid = np.asarray(m.all_nodes())
                         mts = np.asarray(m.all_ts()).view(np.int32)
                         va = np.asarray(m.all_mask())
@@ -488,34 +516,32 @@ class Trainer:
                 # transformer (APAN): dedup shrinks the ENTIRE updater
                 # (pull + K/V + attention + LayerNorm), measured 55 ->
                 # ~35 ms/step at uniq_frac ~0.13 (BASELINE.md round 3)
-                # — worth it up to much higher unique fractions
-                new = round(min(0.6, 2.5 * u + 0.05), 2) if u <= 0.25 \
+                # — worth it up to much higher unique fractions.  ``u``
+                # is the worst case over real + stream-end-shifted
+                # pseudo-batches (recent-pick overlap shrinks as
+                # histories grow, 0.09 -> 0.44 over the synthetic
+                # epoch), so the headroom is small.
+                new = round(min(0.7, 1.25 * u + 0.03), 2) if u <= 0.5 \
                     else None
             if new != self.dedup_factor:
                 self.dedup_factor = new
                 changed = True
         if boundary_frac and self._auto_knobs["layer_dedup"]:
             u = stats["boundary_uniq_frac"]
-            if self.num_snapshots == 1:
-                # deeper-layer dedup measured 61 -> 32-36 ms/step for
-                # TGAT 2-layer @ 4000 on v5e at uniq_frac 0.09-0.14
-                # (BASELINE.md round 3); ~2.5x headroom over the
-                # measured fraction keeps the lax.cond on the fast
-                # branch.  Past ~0.35 unique the sort/expand machinery
-                # stops paying — disable.
-                new = round(min(0.9, 2.5 * u + 0.06), 2) if u <= 0.35 \
-                    else None
-            else:
-                # per-snapshot dedup (DySAT family): the worst case is
-                # measured directly (stream-end-shifted pseudo-batch),
-                # so less headroom; only worth choosing when its
-                # capacity beats the occupancy-based block compaction
-                # (it additionally pays S dedup sorts)
-                new = round(min(0.9, 1.6 * u + 0.05), 2) if u <= 0.45 \
-                    else None
-                if new is not None and self.compact_factor is not None \
-                        and new >= 0.9 * self.compact_factor:
-                    new = None   # block compaction is at least as tight
+            # the max over real + worst-case pseudo-batches decides:
+            # deeper-layer dedup measured 61 -> ~33 ms/step for TGAT
+            # 2-layer @ 4000 on v5e at uniq_frac ~0.09 (early stream
+            # only) and DySAT 138 -> 111 ms at the windowed headline
+            # (holds all stream), but uniform picks from an unwindowed
+            # growing history push late-stream uniqueness to ~0.9 where
+            # the machinery cannot pay — hence the worst-case
+            # measurement and the 0.45 gate.
+            new = round(min(0.9, 1.6 * u + 0.05), 2) if u <= 0.45 \
+                else None
+            if new is not None and self.num_snapshots > 1 \
+                    and self.compact_factor is not None \
+                    and new >= 0.9 * self.compact_factor:
+                new = None   # block compaction is at least as tight
             if new != self.layer_dedup:
                 self.layer_dedup = new
                 changed = True
@@ -538,13 +564,13 @@ class Trainer:
         if self._calibrated:
             return
         import logging
-        # window occupancy (and boundary uniqueness) GROW over the
-        # stream — a first-batch cap would overflow later batches into
-        # the fallback every step.  Re-measure the same roots with the
-        # batch's ts pattern SHIFTED to the stream end (the store is
-        # ingested, so this is the worst-case window fill while keeping
-        # a realistic timestamp multiplicity for the per-snapshot
-        # (nid, ts) uniqueness stats).
+        # window occupancy, boundary uniqueness and memory-instance
+        # uniqueness all GROW over the stream — a first-batch cap would
+        # overflow later batches into the fallback every step.
+        # Re-measure the same roots with the batch's ts pattern SHIFTED
+        # to the stream end (the store is ingested, so this is the
+        # worst-case window fill / history length while keeping a
+        # realistic timestamp multiplicity for the uniqueness stats).
         ts_arr = jnp.asarray(ts, jnp.float32)
         ts_end = ts_arr + (jnp.max(dg.e_ts) - jnp.max(ts_arr))
         stats = self.calibrate(dg, [(roots, ts)], max_batches=1,

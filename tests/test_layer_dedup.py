@@ -4,9 +4,13 @@ TGAT-family fast path: layer i+1 samples only the unique (nid, ts)
 instances of layer i's all_nodes; output embeddings expand back at the
 boundary (exact scatter-free transpose).  With dropout 0 and recent
 sampling the path must match the padded path exactly; overflow must
-fall back exactly; calibration picks the factor from the measured
-boundary unique fraction.  Measured on v5e: TGAT 2-layer @ 4000 drops
-61 -> 32-36 ms/step (BASELINE.md round 3)."""
+fall back exactly; calibration picks the factor from the WORST-CASE
+boundary unique fraction (real + stream-end-shifted pseudo-batches) —
+uniform picks from a growing unwindowed history push late-stream
+uniqueness to ~0.9, where calibration rightly disables the path
+(BASELINE.md round 3).  The windowed multi-snapshot variant below
+(DySAT family) keys per snapshot, where the window bounds uniqueness
+(~0.31 measured) and the dedup holds across the whole stream."""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -124,7 +128,7 @@ def test_rejects_ineligible_configs():
 
 def _snap_losses(layer_dedup, strategy="recent", steps=5,
                  prop_time=True, auto_calibrate=False, compact=None,
-                 batch=240):
+                 batch=240, num_devices=0):
     train, g, ef = _setup()
     dg = g.device_graph()
     model = DGNN(dim_node=0, dim_edge=12, dim_time=16, dim_embed=32,
@@ -139,6 +143,9 @@ def _snap_losses(layer_dedup, strategy="recent", steps=5,
     efj = jnp.asarray(ef)
     state = trainer.init_state(jax.random.PRNGKey(0), dg, batch, None,
                                efj, num_nodes=g.max_vertex_id() + 1)
+    if num_devices:
+        from gnnflow_tpu.parallel import make_mesh, shard_trainer
+        shard_trainer(trainer, make_mesh(num_devices))
     neg = DstRandEdgeSampler(train.dst, seed=1)
     losses = []
     rng = np.random.RandomState(0)
@@ -148,6 +155,12 @@ def _snap_losses(layer_dedup, strategy="recent", steps=5,
         state, loss, _, _ = trainer.train_step(state, dg, None, efj, b)
         losses.append(float(loss))
     return losses, trainer
+
+
+def test_snapshot_dedup_dp_sharded_matches_single_device():
+    a, _ = _snap_losses(0.6, steps=4)
+    b, _ = _snap_losses(0.6, steps=4, num_devices=8)
+    np.testing.assert_allclose(b, a, rtol=5e-4)
 
 
 def test_snapshot_dedup_matches_padded_exactly():
