@@ -66,16 +66,34 @@ class MemoryState(struct.PyTreeNode):
     the bandwidth they save (TPU row gathers are latency- not
     width-bound), so keep the default ``storage="float32"`` when the
     table fits.  Training math is unchanged up to bf16 storage
-    rounding."""
+    rounding.
+
+    ``mailbox_slots > 1`` (the APAN circular mailbox) splits the state
+    into TWO tables: ``data = [N, dm+2]`` rows ``[mem | mem_ts | ptr]``
+    and ``mail_data = [N*S, drp]`` per-(node, slot) rows
+    ``[mail | mail_ts | pad]`` with ``drp`` lane-aligned.  A circular
+    slot write is then ONE full-row scatter at row ``nid*S + ptr%S`` —
+    no read-modify-write of the other slots (the round-3 fused layout's
+    RMW moved 4×[2b, 3832]-wide rows per step; this moves
+    [2b, 384] + [2b, 102]).  Pulls are unharmed: the row-major
+    ``[N*S, drp] → [N, S*drp]`` reshape is a free bitcast, so a
+    per-node all-slots pull is still one row gather."""
 
     data: jax.Array
     dim_memory: int = struct.field(pytree_node=False)
     mailbox_slots: int = struct.field(pytree_node=False, default=1)
     storage: str = struct.field(pytree_node=False, default="float32")
+    mail_data: Optional[jax.Array] = None
+    dim_raw_s: int = struct.field(pytree_node=False, default=0)
 
     @property
     def packed(self) -> bool:
         return self.storage == "bfloat16"
+
+    @property
+    def split(self) -> bool:
+        """True when mails live in their own per-slot table (S > 1)."""
+        return self.mail_data is not None
 
     @property
     def num_nodes(self) -> int:
@@ -88,14 +106,21 @@ class MemoryState(struct.PyTreeNode):
 
     @property
     def dim_raw(self) -> int:
+        if self.split:
+            return self.dim_raw_s
         s = self.mailbox_slots
         per = (self.data.shape[1] - self._dm - 2 - s) // s
         return 2 * per if self.packed else per
 
     @property
     def _dr(self) -> int:
-        """Lanes occupied by one mail slot."""
+        """Lanes occupied by one mail slot (excluding ts/pad)."""
         return self.dim_raw // 2 if self.packed else self.dim_raw
+
+    @property
+    def _drp(self) -> int:
+        """Lane-aligned width of one ``mail_data`` row (split only)."""
+        return self.mail_data.shape[1]
 
     # -- column views (the reference's four tensors) --------------------
 
@@ -114,6 +139,12 @@ class MemoryState(struct.PyTreeNode):
     def mailbox(self) -> jax.Array:
         """[N, dim_raw] (S==1) or [N, S, dim_raw]."""
         s, dr = self.mailbox_slots, self._dr
+        if self.split:
+            block = self.mail_data.reshape(
+                self.num_nodes, s, self._drp)[:, :, :dr]
+            if self.packed:
+                block = _unpack_bf16(block).astype(jnp.float32)
+            return block
         block = self.data[:, self._dm + 1: self._dm + 1 + s * dr]
         if self.packed:
             block = _unpack_bf16(block).astype(jnp.float32)
@@ -122,6 +153,10 @@ class MemoryState(struct.PyTreeNode):
     @property
     def mailbox_ts(self) -> jax.Array:
         s = self.mailbox_slots
+        if self.split:
+            col = self.mail_data.reshape(
+                self.num_nodes, s, self._drp)[:, :, self._dr]
+            return _unpack_f32(col) if self.packed else col
         block = self.data[:, -1 - s: -1]
         if self.packed:
             block = _unpack_f32(block)
@@ -133,16 +168,33 @@ class MemoryState(struct.PyTreeNode):
         return col.astype(jnp.float32) if self.packed else col
 
 
+def _mail_row_lanes(dim_raw: int, packed: bool) -> int:
+    """Lane-aligned per-slot row width of the split mail table."""
+    lanes = (dim_raw // 2 if packed else dim_raw) + 1
+    return -(-lanes // 128) * 128
+
+
 def init_memory(num_nodes: int, dim_memory: int, dim_edge: int,
                 dtype=jnp.float32, mailbox_slots: int = 1,
                 storage: str = "float32") -> MemoryState:
     if storage not in ("float32", "bfloat16"):
         raise ValueError(f"unknown memory storage {storage!r}")
     dim_raw = 2 * dim_memory + dim_edge
-    if storage == "bfloat16":
-        if dim_memory % 2 or dim_raw % 2:
-            raise ValueError(
-                "bfloat16 memory storage needs even dim_memory/dim_raw")
+    if storage == "bfloat16" and (dim_memory % 2 or dim_raw % 2):
+        raise ValueError(
+            "bfloat16 memory storage needs even dim_memory/dim_raw")
+    packed = storage == "bfloat16"
+    if mailbox_slots > 1:
+        # split layout: [mem | mem_ts | ptr] rows + per-slot mail table
+        cols = (dim_memory // 2 if packed else dim_memory) + 2
+        sdt = jnp.int32 if packed else dtype
+        data = jnp.zeros((num_nodes, cols), sdt)
+        drp = _mail_row_lanes(dim_raw, packed)
+        mail = jnp.zeros((num_nodes * mailbox_slots, drp), sdt)
+        return MemoryState(data=data, mail_data=mail, dim_raw_s=dim_raw,
+                           dim_memory=dim_memory,
+                           mailbox_slots=mailbox_slots, storage=storage)
+    if packed:
         cols = dim_memory // 2 + 1 + mailbox_slots * (dim_raw // 2 + 1) + 1
         data = jnp.zeros((num_nodes, cols), jnp.int32)
     else:
@@ -161,7 +213,12 @@ def resize_memory(state: MemoryState, num_nodes: int) -> MemoryState:
     if num_nodes <= state.num_nodes:
         return state
     pad = num_nodes - state.num_nodes
-    return state.replace(data=jnp.pad(state.data, [(0, pad), (0, 0)]))
+    new = state.replace(data=jnp.pad(state.data, [(0, pad), (0, 0)]))
+    if state.split:
+        # new nodes' slot rows append at the end of the row-major table
+        new = new.replace(mail_data=jnp.pad(
+            state.mail_data, [(0, pad * state.mailbox_slots), (0, 0)]))
+    return new
 
 
 def backup_memory(state: MemoryState) -> Dict:
@@ -183,10 +240,32 @@ def restore_memory(backup: Dict) -> MemoryState:
     slots = 1 if mail.ndim == 2 else mail.shape[1]
     n = mem.shape[0]
     storage = str(backup.get("storage", "float32"))
+    packed = storage == "bfloat16"
     ptr = jnp.asarray(backup.get("mailbox_ptr",
                                  jnp.zeros((n,), jnp.float32)))
     mem_ts = jnp.asarray(backup["node_memory_ts"], jnp.float32)
-    if storage == "bfloat16":
+    if slots > 1:
+        dim_raw = mail.shape[-1]
+        if packed:
+            data = jnp.concatenate([
+                _pack_bf16(mem), _pack_f32(mem_ts)[:, None],
+                ptr.astype(jnp.int32).reshape(n, 1)], axis=1)
+            rows = jnp.concatenate([
+                _pack_bf16(mail.reshape(n * slots, dim_raw)),
+                _pack_f32(mail_ts.reshape(n * slots, 1))], axis=1)
+        else:
+            data = jnp.concatenate([
+                mem, mem_ts[:, None],
+                ptr.astype(jnp.float32).reshape(n, 1)], axis=1)
+            rows = jnp.concatenate([
+                mail.reshape(n * slots, dim_raw),
+                mail_ts.reshape(n * slots, 1)], axis=1)
+        drp = _mail_row_lanes(dim_raw, packed)
+        rows = jnp.pad(rows, [(0, 0), (0, drp - rows.shape[1])])
+        return MemoryState(data=data, mail_data=rows, dim_raw_s=dim_raw,
+                           dim_memory=mem.shape[1], mailbox_slots=slots,
+                           storage=storage)
+    if packed:
         data = jnp.concatenate([
             _pack_bf16(mem),
             _pack_f32(mem_ts)[:, None],
@@ -237,7 +316,34 @@ def prepare_input_at(state: MemoryState,
     """Pull memory rows for an explicit node-id array (the compact/dedup
     pull; same unpacking as :func:`prepare_input`)."""
     safe = jnp.clip(nids, 0, state.num_nodes - 1)
-    return _unpack_rows(state, state.data[safe])
+    if not state.split:
+        return _unpack_rows(state, state.data[safe])
+    # split (S > 1): one row gather per table.  Both are lane-padded in
+    # NODE space (O(N), cheap) — unaligned-width row gathers hit a
+    # pathological TPU path.
+    s, drL, drp = state.mailbox_slots, state._dr, state._drp
+    d = state.data
+    padc = (-d.shape[1]) % 128
+    if padc:
+        d = jnp.pad(d, [(0, 0), (0, padc)])
+    rows = d[safe]
+    mrows = state.mail_data.reshape(state.num_nodes, s * drp)[safe]
+    L = rows.shape[0]
+    dm = state._dm
+    mem = rows[:, :dm]
+    mem_ts = rows[:, dm]
+    ptr = rows[:, dm + 1]
+    slots = mrows.reshape(L, s, drp)
+    mails = slots[:, :, :drL]
+    mail_ts = slots[:, :, drL]
+    if state.packed:
+        mem = _unpack_bf16(mem)
+        mem_ts = _unpack_f32(mem_ts)
+        mails = _unpack_bf16(mails)
+        mail_ts = _unpack_f32(mail_ts)
+        ptr = ptr.astype(jnp.float32)
+    return {"mem": mem, "mem_ts": mem_ts, "mail": mails,
+            "mail_ts": mail_ts, "mail_ptr": ptr}
 
 
 def _unpack_rows(state: MemoryState, rows: jax.Array) -> Dict[str, jax.Array]:
@@ -295,9 +401,14 @@ def prepare_input_bf16(state: MemoryState, mfg: MFG) -> Dict[str, jax.Array]:
     dm, s, dr = state.dim_memory, state.mailbox_slots, state.dim_raw
     mem = d[:, :dm].astype(jnp.bfloat16)
     mts = _pack_f32_as_bf16(d[:, dm])                       # [N, 4]
-    mails = d[:, dm + 1: dm + 1 + s * dr].astype(jnp.bfloat16)
-    mlts = _pack_f32_as_bf16(
-        d[:, dm + 1 + s * dr: -1]).reshape(-1, 4 * s)       # [N, 4s]
+    if state.split:
+        slots = state.mail_data.reshape(state.num_nodes, s, state._drp)
+        mails = slots[:, :, :dr].astype(jnp.bfloat16).reshape(-1, s * dr)
+        mlts = _pack_f32_as_bf16(slots[:, :, dr]).reshape(-1, 4 * s)
+    else:
+        mails = d[:, dm + 1: dm + 1 + s * dr].astype(jnp.bfloat16)
+        mlts = _pack_f32_as_bf16(
+            d[:, dm + 1 + s * dr: -1]).reshape(-1, 4 * s)   # [N, 4s]
     ptr = _pack_f32_as_bf16(d[:, -1])                       # [N, 4]
     table = jnp.concatenate([mem, mts, mails, mlts, ptr], axis=1)
     w = table.shape[1]
@@ -523,15 +634,22 @@ class TransformerMemoryUpdater(nn.Module):
             # (w_kv/kernel+bias via GateParams) matches MultiLinear's,
             # so checkpoints are interchangeable.
             from gnnflow_tpu.models.modules import GateParams
-            from gnnflow_tpu.ops.apan_kv import apan_table_pull
+            from gnnflow_tpu.ops.apan_kv import _pad_lanes, apan_table_pull
             state = mem_input.state
             S, dr = state.mailbox_slots, state.dim_raw
+            dm_ = state.dim_memory
             kernel, bias = GateParams(
                 dr + self.dim_time, 2 * self.dim_memory, name="w_kv")()
             nids = nids_override if dedup else \
                 jnp.clip(mfg.all_nodes(), 0, state.num_nodes - 1)
+            if state.split:
+                mail_tab = state.mail_data
+            else:
+                # S==1 fused layout: mail|mail_ts are contiguous columns
+                mail_tab = _pad_lanes(
+                    state.data[:, dm_ + 1: dm_ + 2 + dr])
             mem, kv, mail_ts = apan_table_pull(
-                state.data, kernel[:dr], nids, state.dim_memory, S, dr,
+                state.data[:, :dm_], mail_tab, kernel[:dr], nids, S, dr,
                 jnp.dtype(cdt).name)
             n = mem.shape[0]
             if self.dim_time > 0:
@@ -706,35 +824,45 @@ def update_mem_mail(state: MemoryState,
         data = state.data.at[jnp.where(win_mail, nid, n)].set(
             rows, mode="drop")
         return state.replace(data=data)
-    # S > 1 (APAN circular mailbox): slot rotation must preserve the
-    # other slots, so keep the two-pass read-modify-write of full rows.
-    cur = state.data[safe_mail]
-    # write slot (ptr mod S), advance ptr
-    ptr = cur[:, -1].astype(jnp.int32)
+    # S > 1 (APAN circular mailbox): the mail slots live in their own
+    # [N·S, drp] per-slot row table (split layout), so the circular
+    # write is ONE full-row scatter at row ``nid·S + ptr%S`` — no
+    # read-modify-write gather of the 3800-wide fused rows (the round-3
+    # RMW moved 4×[2b, 3832] rows/step; this moves [2b, 384] + [2b,
+    # dm+2] plus a [2b] scalar ptr gather).
+    from gnnflow_tpu.ops.sampling import _gather_scalars
+    drp = state._drp
+    NS = state.mail_data.shape[0]
+    col = state.data[:, -1]
+    padn = (-col.shape[0]) % 128
+    if padn:
+        col = jnp.pad(col, (0, padn))
+    ptr = _gather_scalars(col, safe_mail).astype(jnp.int32)
     slot = ptr % S
-    sel = slot[:, None] == jnp.arange(S)[None, :]
-    old_mails = cur[:, dmL + 1: dmL + 1 + S * drL].reshape(-1, S, drL)
-    old_mts = cur[:, dmL + 1 + S * drL: -1]
-    new_mails = jnp.where(sel[..., None], enc_mail[:, None, :],
-                          old_mails).reshape(-1, S * drL)
-    new_mts = jnp.where(sel, enc_mts, old_mts)
+    row_idx = safe_mail * S + slot
+    pad = drp - enc_mail.shape[1] - 1
     mail_rows = jnp.concatenate(
-        [cur[:, : dmL + 1], new_mails, new_mts,
-         (ptr + 1).astype(cur.dtype)[:, None]], axis=1)
-    data = state.data.at[jnp.where(win_mail, nid, n)].set(
-        mail_rows, mode="drop")
+        [enc_mail, enc_mts,
+         jnp.zeros((2 * b, pad), state.mail_data.dtype)], axis=1) \
+        if pad else jnp.concatenate([enc_mail, enc_mts], axis=1)
+    mail_data = state.mail_data.at[
+        jnp.where(win_mail, row_idx, NS)].set(mail_rows, mode="drop")
 
+    # memory rows [mem | mem_ts | ptr+1] written at the block-order
+    # winners (same nid set as the mail winners, so the ptr advance
+    # lands exactly once per written node)
     nid_mem = last_updated_nid[:2 * b]
     mem_vals = last_updated_memory[:2 * b]
     mem_ts = last_updated_ts[:2 * b]
     enc_mem = _pack_bf16(mem_vals) if packed else mem_vals
     enc_memts = _pack_f32(mem_ts)[:, None] if packed else mem_ts[:, None]
     win_mem = unique_keep_last_mask(nid_mem, valid_block)
-    safe_mem = jnp.clip(nid_mem, 0, n - 1)
-    cur = data[safe_mem]  # after the mailbox write (overlapping nids)
+    i = jnp.arange(2 * b, dtype=jnp.int32)
+    ptr_blk = ptr[2 * (i % b) + i // b]   # interleaved -> block order
     mem_rows = jnp.concatenate(
-        [enc_mem, enc_memts, cur[:, dmL + 1:]], axis=1)
-    data = data.at[jnp.where(win_mem, nid_mem, n)].set(
+        [enc_mem, enc_memts,
+         (ptr_blk + 1).astype(state.data.dtype)[:, None]], axis=1)
+    data = state.data.at[jnp.where(win_mem, nid_mem, n)].set(
         mem_rows, mode="drop")
 
-    return state.replace(data=data)
+    return state.replace(data=data, mail_data=mail_data)
