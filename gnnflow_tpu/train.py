@@ -37,6 +37,13 @@ class TrainState(struct.PyTreeNode):
     memory: Optional[memory_lib.MemoryState]
     key: jax.Array
     step: jax.Array
+    # in-loop layer-dedup feedback (configs with _layer_dedup_ok only):
+    # [4] i32 histogram of the first boundary's take per step — index =
+    # number of tier caps the unique count exceeded (0 = tightest tier,
+    # 3 = clamped tail / padded fallback).  Read by tier_take_stats();
+    # maybe_recalibrate() re-runs calibration when the fallback rate
+    # shows the stream drifted from the calibrated distribution.
+    tier_takes: Optional[jax.Array] = None
 
 
 def bce_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -125,6 +132,13 @@ def fetch_features(mfgs: List[List[MFG]],
 
 class Trainer:
     """Builds jitted train/eval steps for a DGNN + sampler configuration."""
+
+    # which model-level fast paths this trainer's step may take.
+    # PartitionedTrainer narrows this: the dedup paths compose with
+    # routed sampling (per-layer compact roots route like any roots),
+    # but block compaction's packed-root sampling is single-store only.
+    _fast_paths = frozenset({"snapshot_dedup", "model_compact",
+                             "layer_dedup"})
 
     def __init__(self, model: DGNN, *, fanouts, sample_strategy="recent",
                  num_snapshots=1, snapshot_time_window=0.0, prop_time=False,
@@ -239,15 +253,17 @@ class Trainer:
             # the compaction caps depend on measured stream stats
             # (window occupancy / (nid, ts) duplication), so calibrate
             # on the first real batches with no flag.  Only configs with
-            # something to calibrate pay the one-time sampling pass:
-            # windowed multi-snapshot (compact/model-compact factors),
-            # GRU memory (dedup factor), or multi-layer single-snapshot
-            # DGNNs (layer_dedup factor).  PartitionedTrainer opts out
-            # (calibration samples the single-store path).
+            # something LEFT ON AUTO to calibrate pay the one-time
+            # sampling pass: windowed multi-snapshot (compact /
+            # layer-dedup factors), memory (dedup factor), or
+            # multi-layer single-snapshot DGNNs (layer_dedup factor).
             auto_calibrate = (
-                (self.num_snapshots > 1 and self.window > 0)
-                or model.use_memory
-                or self._layer_dedup_ok())
+                (self.num_snapshots > 1 and self.window > 0
+                 and (self._auto_knobs["compact"]
+                      or self._auto_knobs["layer_dedup"]))
+                or (model.use_memory and self._auto_knobs["dedup"])
+                or (self._layer_dedup_ok()
+                    and self._auto_knobs["layer_dedup"]))
         self._calibrated = not bool(auto_calibrate)
 
         self._jit_train_kwargs = {}
@@ -335,7 +351,10 @@ class Trainer:
         return TrainState(params=params, opt_state=opt_state,
                           memory=memory, key=self._replicated(key),
                           step=self._replicated(
-                              np.zeros((), np.int32)))
+                              np.zeros((), np.int32)),
+                          tier_takes=self._replicated(
+                              np.zeros((4,), np.int32))
+                          if self._layer_dedup_ok() else None)
 
     def _init_array(self, x: np.ndarray) -> jax.Array:
         """Placement hook for init-time dummy batches; the multi-process
@@ -366,6 +385,39 @@ class Trainer:
             num_snapshots=self.num_snapshots, window=self.window,
             prop_time=self.prop_time, search_iters=self._iters(dg),
             compact_factor=self.compact_factor, key=key)
+
+    def _sample_plain(self, dg, roots, ts, key):
+        """Uncompacted multi-layer sampling for calibration probes;
+        overridden by :class:`PartitionedTrainer` (partitioned stores
+        have no single-store ``sample_hops`` view)."""
+        return sample_hops(
+            dg, roots, ts, fanouts=self.fanouts, strategy=self.strategy,
+            num_snapshots=self.num_snapshots, window=self.window,
+            prop_time=self.prop_time, search_iters=self._iters(dg),
+            compact_factor=None, key=key)
+
+    def _sample_layer(self, dg, roots, ts, *, fanout, key=None):
+        """One layer/snapshot sample — the dedup fast-path chains build
+        layers one at a time through this hook so
+        :class:`PartitionedTrainer` can route each compact layer over
+        the mesh."""
+        from gnnflow_tpu.ops.sampling import sample_layer
+        return sample_layer(
+            dg, roots, ts, fanout=fanout, strategy=self.strategy,
+            num_snapshots=self.num_snapshots, window=self.window,
+            prop_time=self.prop_time, search_iters=self._iters(dg),
+            key=key)
+
+    def _sample_layer_snaps(self, dg, R, T, *, fanout,
+                            shared_roots=False, key=None):
+        """All snapshots of one layer ([S, B] roots) -> list of S MFGs;
+        partitioned override samples each snapshot routed."""
+        from gnnflow_tpu.ops.sampling import sample_layer_snapshots
+        return sample_layer_snapshots(
+            dg, R, T, fanout=fanout, strategy=self.strategy,
+            num_snapshots=self.num_snapshots, window=self.window,
+            prop_time=self.prop_time, search_iters=self._iters(dg),
+            shared_roots=shared_roots, key=key)
 
     # ------------------------------------------------------------------
 
@@ -412,12 +464,7 @@ class Trainer:
                 ts = jnp.asarray(batch.ts, jnp.float32)
             if self.is_static:
                 ts = jnp.full_like(ts, np.float32(3.4e38))
-            mfgs = sample_hops(
-                dg, roots, ts, fanouts=self.fanouts,
-                strategy=self.strategy, num_snapshots=self.num_snapshots,
-                window=self.window, prop_time=self.prop_time,
-                search_iters=self._iters(dg), compact_factor=None,
-                key=key)
+            mfgs = self._sample_plain(dg, roots, ts, key)
             # occupancy of non-innermost layers' neighbor slots = the
             # deeper layers' root-compaction opportunity
             for layer in mfgs[1:]:
@@ -433,7 +480,11 @@ class Trainer:
                 uniq_frac.append(u / max(nid.size, 1))
             if self._layer_dedup_ok():
                 # unique (nid, ts) fraction at each layer boundary (the
-                # parent layers' all_nodes = the deeper layers' roots)
+                # parent layers' all_nodes = the deeper layers' roots);
+                # ONE value per probe batch (its worst boundary — the
+                # cap must hold at every boundary for the batch's
+                # tightest tier to engage)
+                bmax = 0.0
                 for layer in mfgs[1:]:
                     for m in layer:
                         nid = np.asarray(m.all_nodes())
@@ -441,7 +492,8 @@ class Trainer:
                         va = np.asarray(m.all_mask())
                         pairs = np.stack([nid[va], mts[va]], 1)
                         u = np.unique(pairs, axis=0).shape[0]
-                        boundary_frac.append(u / max(nid.size, 1))
+                        bmax = max(bmax, u / max(nid.size, 1))
+                boundary_frac.append(bmax)
         # worst-case pseudo-batches (the first batch's ts pattern
         # SHIFTED to the stream end — realistic timestamp multiplicity,
         # maximal window fill and history length): none of the
@@ -456,13 +508,8 @@ class Trainer:
             ts_b = jnp.asarray(ts, jnp.float32)
             if self.is_static:
                 ts_b = jnp.full_like(ts_b, np.float32(3.4e38))
-            mfgs = sample_hops(
-                dg, jnp.asarray(roots, jnp.int32), ts_b,
-                fanouts=self.fanouts,
-                strategy=self.strategy, num_snapshots=self.num_snapshots,
-                window=self.window, prop_time=self.prop_time,
-                search_iters=self._iters(dg), compact_factor=None,
-                key=key)
+            mfgs = self._sample_plain(
+                dg, jnp.asarray(roots, jnp.int32), ts_b, key)
             if self.model.use_memory:
                 # memory-instance uniqueness is NOT stream-stationary
                 # either (recent picks overlap less as histories grow:
@@ -475,6 +522,7 @@ class Trainer:
                 pairs = np.stack([nid[va], mts[va]], 1)
                 u = np.unique(pairs, axis=0).shape[0]
                 uniq_frac.append(u / max(nid.size, 1))
+            bmax = 0.0
             for layer in mfgs[1:]:
                 for m in layer:
                     if windowed:
@@ -484,14 +532,16 @@ class Trainer:
                         # uniform picks from a growing history make
                         # late-stream pairs nearly all unique (measured
                         # 0.09 -> 0.83 over the synthetic REDDIT-scale
-                        # epoch) — the worst-case pseudo-batch decides
-                        # whether dedup can hold at all
+                        # epoch) — the pseudo-batch quantile spread
+                        # feeds the tier ladder above
                         nid = np.asarray(m.all_nodes())
                         mts = np.asarray(m.all_ts()).view(np.int32)
                         va = np.asarray(m.all_mask())
                         pairs = np.stack([nid[va], mts[va]], 1)
                         u = np.unique(pairs, axis=0).shape[0]
-                        boundary_frac.append(u / max(nid.size, 1))
+                        bmax = max(bmax, u / max(nid.size, 1))
+            if self._layer_dedup_ok():
+                boundary_frac.append(bmax)
         stats = {"occupancy": max(occ) if occ else None,
                  "uniq_frac": max(uniq_frac) if uniq_frac else None,
                  "boundary_uniq_frac": max(boundary_frac)
@@ -527,20 +577,32 @@ class Trainer:
                 self.dedup_factor = new
                 changed = True
         if boundary_frac and self._auto_knobs["layer_dedup"]:
-            u = stats["boundary_uniq_frac"]
-            # the max over real + worst-case pseudo-batches decides:
-            # deeper-layer dedup measured 61 -> ~33 ms/step for TGAT
-            # 2-layer @ 4000 on v5e at uniq_frac ~0.09 (early stream
-            # only) and DySAT 138 -> 111 ms at the windowed headline
-            # (holds all stream), but uniform picks from an unwindowed
-            # growing history push late-stream uniqueness to ~0.9 where
-            # the machinery cannot pay — hence the worst-case
-            # measurement and the 0.45 gate.
-            new = round(min(0.9, 1.6 * u + 0.05), 2) if u <= 0.45 \
-                else None
+            # DISTRIBUTION-aware tiered caps (round 4): boundary
+            # uniqueness is not stream-stationary (uniform picks from a
+            # growing unwindowed history push it 0.09 -> ~0.85 over the
+            # synthetic REDDIT-scale epoch), so a single worst-case cap
+            # either overflows mid-stream or forfeits the early/mid
+            # wins (round 3's 0.45 gate left TGAT fully padded).  The
+            # per-boundary ``lax.cond`` is exact at any cap, so size a
+            # SMALL ladder of caps from the measured per-probe quantiles
+            # — each batch takes the tightest tier its unique count
+            # fits, and only the true tail pays the padded path.  Tiers
+            # above ~0.85 can't beat the sort machinery (the engaged
+            # step is ~(shallow + tier·deep); measured deep fraction
+            # ~0.8 at TGAT/DySAT headlines) and are dropped.
+            vals = sorted(boundary_frac)
+            qs = [vals[min(len(vals) - 1, int(q * len(vals)))]
+                  for q in (0.45, 0.75)] + [vals[-1]]
+            tiers = []
+            for u in qs:
+                f = round(min(0.92, 1.25 * u + 0.03), 2)
+                if f <= 0.85 and (not tiers or f >= tiers[-1] + 0.08):
+                    tiers.append(f)
+            new = (None if not tiers
+                   else tiers[0] if len(tiers) == 1 else tuple(tiers))
             if new is not None and self.num_snapshots > 1 \
                     and self.compact_factor is not None \
-                    and new >= 0.9 * self.compact_factor:
+                    and min(tiers) >= 0.9 * self.compact_factor:
                 new = None   # block compaction is at least as tight
             if new != self.layer_dedup:
                 self.layer_dedup = new
@@ -568,18 +630,76 @@ class Trainer:
         # uniqueness all GROW over the stream — a first-batch cap would
         # overflow later batches into the fallback every step.
         # Re-measure the same roots with the batch's ts pattern SHIFTED
-        # to the stream end (the store is ingested, so this is the
-        # worst-case window fill / history length while keeping a
-        # realistic timestamp multiplicity for the uniqueness stats).
+        # across the stream (the store is ingested, so each probe sees
+        # that point's window fill / history length while keeping a
+        # realistic timestamp multiplicity): the stream-end probe still
+        # bounds the single-cap knobs at the worst case, and the
+        # quantile spread feeds the layer-dedup tier ladder.
         ts_arr = jnp.asarray(ts, jnp.float32)
-        ts_end = ts_arr + (jnp.max(dg.e_ts) - jnp.max(ts_arr))
+        t_hi = jnp.max(dg.e_ts)
+        t_b = jnp.max(ts_arr)
+        probes = [(roots, ts_arr + (q * t_hi - t_b))
+                  for q in (0.33, 0.67, 1.0)]
         stats = self.calibrate(dg, [(roots, ts)], max_batches=1,
-                               occ_batches=[(roots, ts_end)])
+                               occ_batches=probes)
         logging.getLogger(__name__).info("auto-calibration: %s", stats)
+
+    def tier_take_stats(self, state: TrainState) -> Optional[dict]:
+        """Host-side view of the in-loop layer-dedup take histogram:
+        per-tier step counts, the padded-fallback rate, and the active
+        tier ladder.  ``None`` for configs without the dedup path."""
+        if state.tier_takes is None:
+            return None
+        counts = np.asarray(jax.device_get(state.tier_takes))
+        total = int(counts.sum())
+        tiers = self._dedup_tiers()
+        fb = int(counts[min(len(tiers), 3):].sum()) if tiers else 0
+        return {"counts": counts.tolist(), "total": total,
+                "tiers": tiers,
+                "fallback_rate": (fb / total) if total else 0.0}
+
+    def maybe_recalibrate(self, state: TrainState, dg, roots, ts, *,
+                          threshold: float = 0.3,
+                          min_steps: int = 20) -> TrainState:
+        """In-loop calibration feedback: when the padded-fallback rate
+        since the last (re)calibration exceeds ``threshold`` (bursty /
+        drifting streams mis-size first-batch caps; overflow never harms
+        correctness, only speed), re-run the quantile calibration around
+        the CURRENT batch's timestamp pattern and reset the histogram.
+        Returns the (possibly histogram-reset) state; call once per
+        epoch from the training loop."""
+        stats = self.tier_take_stats(state)
+        if not stats or stats["total"] < min_steps \
+                or not self._dedup_tiers() \
+                or stats["fallback_rate"] <= threshold:
+            return state
+        self._calibrated = False
+        self._maybe_auto_calibrate(dg, jnp.asarray(roots, jnp.int32),
+                                   jnp.asarray(ts, jnp.float32))
+        return state.replace(tier_takes=jnp.zeros_like(state.tier_takes))
 
     def _dedup_cap(self, num_all: int) -> int:
         cap = int(math.ceil(float(self.dedup_factor) * num_all / 256.0))
         return min(cap * 256, num_all)
+
+    def _dedup_tiers(self):
+        """``layer_dedup`` normalized to an ascending factor tuple."""
+        ld = self.layer_dedup
+        if ld is None:
+            return ()
+        if isinstance(ld, (tuple, list)):
+            return tuple(sorted(float(f) for f in ld))
+        return (float(ld),)
+
+    @staticmethod
+    def _tier_caps(factors, num_all: int):
+        """Distinct ascending 256-aligned caps for a tier ladder."""
+        caps = []
+        for f in factors:
+            c = min(num_all, -(-math.ceil(f * num_all) // 256) * 256)
+            if not caps or c > caps[-1]:
+                caps.append(c)
+        return caps
 
     def _run_model(self, state, mfgs, efs, kdrop, valid, train,
                    mem_input, nfs, expansions=None):
@@ -771,20 +891,24 @@ class Trainer:
         (exact scatter-free transpose).  Per-boundary overflow
         (``n_uniq > cap``) falls back to the padded path for the
         remaining layers via ``lax.cond`` — results never change (up to
-        dropout/uniform-RNG draw assignment, as with model_compact)."""
+        dropout/uniform-RNG draw assignment, as with model_compact).
+
+        ``layer_dedup`` may be a TIER LADDER (ascending factors, from
+        calibrate()'s measured uniqueness quantiles): the sort runs once
+        per boundary at the largest cap and nested conds take the
+        tightest tier the batch's unique count fits — mid-stream batches
+        win big, late-stream batches win small, only the true tail pays
+        the padded path.  ``inv``/``sidx``/``rank_sorted`` are shared
+        across tiers (rank < n_uniq <= cap on every engaged branch)."""
         from gnnflow_tpu.ops.dedup import dedup_instances
-        from gnnflow_tpu.ops.sampling import sample_layer
         dn = getattr(self.model, "dim_node", 0)
         de = getattr(self.model, "dim_edge", 0)
-        factor = float(self.layer_dedup)
+        factors = self._dedup_tiers()
         L = len(self.fanouts)
-        kw = dict(strategy=self.strategy, num_snapshots=1,
-                  window=self.window, prop_time=self.prop_time,
-                  search_iters=self._iters(dg))
         keys = [jax.random.fold_in(ksample, i) if ksample is not None
                 else None for i in range(L)]
-        mfg0 = sample_layer(dg, roots, sample_ts,
-                            fanout=self.fanouts[0], key=keys[0], **kw)
+        mfg0 = self._sample_layer(dg, roots, sample_ts,
+                                  fanout=self.fanouts[0], key=keys[0])
 
         def run(mlist, exps):
             cm = [[m] for m in reversed(mlist)]
@@ -796,41 +920,56 @@ class Trainer:
                 expansions=ex if any(e is not None for e in ex)
                 else None)
 
+        hist_box = []
+
         def chain(layer, mlist, exps):
             if layer == L:
                 return run(mlist, exps)
             prev = mlist[-1]
             La = prev.num_all
-            cap = min(La, -(-math.ceil(factor * La) // 256) * 256)
+            caps = self._tier_caps(factors, La)
             uniq_nid, uniq_ts, inv, n_uniq, sidx, rank_sorted = \
                 dedup_instances(prev.all_nodes(), prev.all_ts(),
-                                prev.all_mask(), cap)
+                                prev.all_mask(), caps[-1])
+            if layer == 1:
+                idx = sum((n_uniq > c).astype(jnp.int32) for c in caps)
+                hist_box.append((jnp.clip(idx, 0, 3) ==
+                                 jnp.arange(4)).astype(jnp.int32))
 
-            def fast(_):
-                # unused compact slots become invalid roots (masked rows)
-                nid_c = jnp.where(
-                    jnp.arange(cap, dtype=jnp.int32) < n_uniq,
-                    uniq_nid, jnp.int32(-1))
-                inner = sample_layer(dg, nid_c, uniq_ts,
-                                     fanout=self.fanouts[layer],
-                                     key=keys[layer], **kw)
-                return chain(layer + 1, mlist + [inner],
-                             exps + [("rows", inv, sidx, rank_sorted)])
+            def tier(cap):
+                def fast(_):
+                    # unused compact slots -> invalid roots (masked rows)
+                    nid_c = jnp.where(
+                        jnp.arange(cap, dtype=jnp.int32) < n_uniq,
+                        uniq_nid[:cap], jnp.int32(-1))
+                    inner = self._sample_layer(dg, nid_c, uniq_ts[:cap],
+                                               fanout=self.fanouts[layer],
+                                               key=keys[layer])
+                    return chain(layer + 1, mlist + [inner],
+                                 exps + [("rows", inv, sidx,
+                                          rank_sorted)])
+                return fast
 
             def full(_):
                 ms, es = list(mlist), list(exps)
                 r, t = ms[-1].all_nodes(), ms[-1].all_ts()
                 for li in range(layer, L):
-                    lm = sample_layer(dg, r, t, fanout=self.fanouts[li],
-                                      key=keys[li], **kw)
+                    lm = self._sample_layer(dg, r, t,
+                                            fanout=self.fanouts[li],
+                                            key=keys[li])
                     ms.append(lm)
                     es.append(None)
                     r, t = lm.all_nodes(), lm.all_ts()
                 return run(ms, es)
 
-            return jax.lax.cond(n_uniq <= cap, fast, full, None)
+            out = full
+            for cap in reversed(caps):
+                out = (lambda f, nxt, c: lambda op:
+                       jax.lax.cond(n_uniq <= c, f, nxt, op))(
+                    tier(cap), out, cap)
+            return out(None)
 
-        return chain(1, [mfg0], [None])
+        return chain(1, [mfg0], [None]), hist_box[0]
 
     def _snapshot_dedup_outputs(self, state, dg, roots, sample_ts,
                                 ksample, kdrop, valid, train,
@@ -851,22 +990,18 @@ class Trainer:
         ``gnnflow/config.py:61-76`` (DySAT),
         ``temporal_sampler.cu`` snapshot windows."""
         from gnnflow_tpu.ops.dedup import dedup_instances
-        from gnnflow_tpu.ops.sampling import sample_layer_snapshots
         dn = getattr(self.model, "dim_node", 0)
         de = getattr(self.model, "dim_edge", 0)
-        factor = float(self.layer_dedup)
+        factors = self._dedup_tiers()
         S = self.num_snapshots
         L = len(self.fanouts)
-        kw = dict(strategy=self.strategy, num_snapshots=S,
-                  window=self.window, prop_time=self.prop_time,
-                  search_iters=self._iters(dg))
         keys = [jax.random.fold_in(ksample, i) if ksample is not None
                 else None for i in range(L)]
         R = jnp.stack([roots] * S)
         T = jnp.stack([sample_ts] * S)
-        mfgs0 = sample_layer_snapshots(
+        mfgs0 = self._sample_layer_snaps(
             dg, R, T, fanout=self.fanouts[0], shared_roots=True,
-            key=keys[0], **kw)
+            key=keys[0])
 
         def run(mfgs_list, expans):
             cm = list(reversed(mfgs_list))
@@ -878,33 +1013,42 @@ class Trainer:
                 expansions=exps if any(e is not None for e in exps)
                 else None)
 
+        hist_box = []
+
         def chain(layer, mfgs_list, expans):
             if layer == L:
                 return run(mfgs_list, expans)
             prev = mfgs_list[-1]                       # S MFGs
             La = prev[0].num_all
-            cap = min(La, -(-math.ceil(factor * La) // 256) * 256)
+            caps = self._tier_caps(factors, La)
             dd = [dedup_instances(m.all_nodes(), m.all_ts(),
-                                  m.all_mask(), cap) for m in prev]
+                                  m.all_mask(), caps[-1]) for m in prev]
             n_max = dd[0][3]
             for d in dd[1:]:
                 n_max = jnp.maximum(n_max, d[3])
+            if layer == 1:
+                idx = sum((n_max > c).astype(jnp.int32) for c in caps)
+                hist_box.append((jnp.clip(idx, 0, 3) ==
+                                 jnp.arange(4)).astype(jnp.int32))
 
-            def fast(_):
-                slot = jnp.arange(cap, dtype=jnp.int32)
-                # unused compact slots -> invalid roots (masked rows)
-                Rn = jnp.stack([jnp.where(slot < d[3], d[0],
-                                          jnp.int32(-1)) for d in dd])
-                Tn = jnp.stack([d[1] for d in dd])
-                inner = sample_layer_snapshots(
-                    dg, Rn, Tn, fanout=self.fanouts[layer],
-                    key=keys[layer], **kw)
-                spec = ("rows",
-                        jnp.stack([d[2] for d in dd]),   # inv [S, La]
-                        jnp.stack([d[4] for d in dd]),   # sidx
-                        jnp.stack([d[5] for d in dd]))   # rank_sorted
-                return chain(layer + 1, mfgs_list + [inner],
-                             expans + [spec])
+            def tier(cap):
+                def fast(_):
+                    slot = jnp.arange(cap, dtype=jnp.int32)
+                    # unused compact slots -> invalid roots (masked)
+                    Rn = jnp.stack([jnp.where(slot < d[3], d[0][:cap],
+                                              jnp.int32(-1))
+                                    for d in dd])
+                    Tn = jnp.stack([d[1][:cap] for d in dd])
+                    inner = self._sample_layer_snaps(
+                        dg, Rn, Tn, fanout=self.fanouts[layer],
+                        key=keys[layer])
+                    spec = ("rows",
+                            jnp.stack([d[2] for d in dd]),  # inv [S, La]
+                            jnp.stack([d[4] for d in dd]),  # sidx
+                            jnp.stack([d[5] for d in dd]))  # rank_sorted
+                    return chain(layer + 1, mfgs_list + [inner],
+                                 expans + [spec])
+                return fast
 
             def full(_):
                 ms, es = list(mfgs_list), list(expans)
@@ -912,17 +1056,22 @@ class Trainer:
                 for li in range(layer, L):
                     Rf = jnp.stack([r for r, _ in per])
                     Tf = jnp.stack([t for _, t in per])
-                    lm = sample_layer_snapshots(
+                    lm = self._sample_layer_snaps(
                         dg, Rf, Tf, fanout=self.fanouts[li],
-                        key=keys[li], **kw)
+                        key=keys[li])
                     ms.append(lm)
                     es.append(None)
                     per = [(m.all_nodes(), m.all_ts()) for m in lm]
                 return run(ms, es)
 
-            return jax.lax.cond(n_max <= cap, fast, full, None)
+            out = full
+            for cap in reversed(caps):
+                out = (lambda f, nxt, c: lambda op:
+                       jax.lax.cond(n_max <= c, f, nxt, op))(
+                    tier(cap), out, cap)
+            return out(None)
 
-        return chain(1, [mfgs0], [None])
+        return chain(1, [mfgs0], [None]), hist_box[0]
 
     def _step(self, state: TrainState, dg: DeviceGraph,
               node_feats, edge_feats,
@@ -937,23 +1086,27 @@ class Trainer:
         # compact_factor=None at high occupancy to DISABLE compaction —
         # honoring that here keeps the padded path single-branch instead
         # of compiling a compact branch that overflows every step.
+        tier_hist = None
         if self.layer_dedup is not None and self.num_snapshots > 1 \
-                and type(self) is Trainer:
+                and "snapshot_dedup" in self._fast_paths:
             # per-snapshot (nid, ts) dedup: strictly tighter than the
             # occupancy block compaction below (calibrate() picks it
             # only when its capacity beats the occupancy factor)
-            loss, pos, neg, last, grads = self._snapshot_dedup_outputs(
-                state, dg, roots32, sample_ts, ksample, kdrop, valid,
-                train, node_feats, edge_feats)
+            (loss, pos, neg, last, grads), tier_hist = \
+                self._snapshot_dedup_outputs(
+                    state, dg, roots32, sample_ts, ksample, kdrop, valid,
+                    train, node_feats, edge_feats)
         elif self.model_compact and self.compact_factor is not None \
-                and type(self) is Trainer:
+                and "model_compact" in self._fast_paths:
             loss, pos, neg, last, grads = self._model_compact_outputs(
                 state, dg, roots32, sample_ts, ksample, kdrop, valid,
                 train, node_feats, edge_feats)
-        elif self.layer_dedup is not None and type(self) is Trainer:
-            loss, pos, neg, last, grads = self._layer_dedup_outputs(
-                state, dg, roots32, sample_ts, ksample, kdrop, valid,
-                train, node_feats, edge_feats)
+        elif self.layer_dedup is not None \
+                and "layer_dedup" in self._fast_paths:
+            (loss, pos, neg, last, grads), tier_hist = \
+                self._layer_dedup_outputs(
+                    state, dg, roots32, sample_ts, ksample, kdrop, valid,
+                    train, node_feats, edge_feats)
         else:
             mfgs = self._sample(dg, roots32, sample_ts, ksample)
             loss, pos, neg, last, grads = self._model_outputs(
@@ -978,9 +1131,13 @@ class Trainer:
                 last["last_updated_memory"], last["last_updated_ts"],
                 edge_feats=tef, valid=valid,
                 neg_sample_ratio=self.neg_ratio)
+        takes = state.tier_takes
+        if takes is not None and tier_hist is not None and train:
+            takes = takes + tier_hist
         new_state = state.replace(params=params, opt_state=opt_state,
                                   memory=memory, key=key,
-                                  step=state.step + 1)
+                                  step=state.step + 1,
+                                  tier_takes=takes)
         return new_state, loss, pos[:, 0], neg[:, 0]
 
     def _step_prefetched(self, state: TrainState, mfgs, nfs, efs, tef,

@@ -330,6 +330,21 @@ def main():
         epoch_time = time.time() - epoch_start
         logging.info("epoch %d phases: %s", epoch, timer.format())
         timer.reset()
+        # in-loop layer-dedup feedback: log per-tier engagement and
+        # re-calibrate the cap ladder when the stream drifted enough
+        # that >30% of steps fell through to the padded path
+        tstats = trainer.tier_take_stats(state)
+        if tstats and tstats["total"]:
+            logging.info(
+                "epoch %d layer-dedup takes %s (tiers %s, "
+                "fallback rate %.2f)", epoch, tstats["counts"],
+                tstats["tiers"], tstats["fallback_rate"])
+            state = trainer.maybe_recalibrate(
+                state, dg,
+                np.concatenate([train_data.src[-batch_size:],
+                                train_data.dst[-batch_size:],
+                                train_data.dst[-batch_size:]]),
+                np.tile(train_data.time[-batch_size:], 3))
         state, ap, auc, val_loss = run_eval(state, val_data, val_neg)
         logging.info(
             "epoch %d: time %.2fs, throughput %.0f samples/s, "

@@ -92,11 +92,83 @@ def test_uniform_trains_and_is_finite():
 def test_auto_calibration_picks_factor():
     losses, trainer = _losses("auto", steps=2, auto_calibrate=True)
     assert trainer._calibrated
-    # the boundary fraction on this stream is well under the 0.35 gate,
-    # so the factor must be enabled (a concrete float)
-    assert isinstance(trainer.layer_dedup, float)
-    assert 0 < trainer.layer_dedup <= 0.9
+    # the boundary fraction on this stream is well under the gate, so
+    # the ladder must be enabled (a float or an ascending tuple)
+    tiers = trainer._dedup_tiers()
+    assert tiers, trainer.layer_dedup
+    assert all(0 < f <= 0.92 for f in tiers)
+    assert list(tiers) == sorted(tiers)
     assert all(np.isfinite(losses))
+
+
+def test_tier_ladder_matches_padded_exactly():
+    a, _ = _losses(None)
+    b, _ = _losses((0.3, 0.6))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_tier_ladder_with_overflow_tail_matches_padded():
+    # tightest tier overflows on some/all steps; the ladder + padded
+    # tail must still be exact
+    a, _ = _losses(None)
+    b, _ = _losses((0.01, 0.05, 0.6))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_tier_take_stats_counts_steps():
+    losses, tr = _losses((0.3, 0.6), steps=5)
+    # the trainer records one take per TRAIN step in state.tier_takes;
+    # re-run to grab the final state
+    train, g, ef = _setup()
+    dg = g.device_graph()
+    efj = jnp.asarray(ef)
+    state = tr.init_state(jax.random.PRNGKey(0), dg, 240, None, efj,
+                          num_nodes=g.max_vertex_id() + 1)
+    neg = DstRandEdgeSampler(train.dst, seed=1)
+    rng = np.random.RandomState(0)
+    n = 0
+    for i, b in enumerate(get_batches(train, 240, neg, rng=rng)):
+        if i >= 5:
+            break
+        state, _, _, _ = tr.train_step(state, dg, None, efj, b)
+        n += 1
+    stats = tr.tier_take_stats(state)
+    assert stats is not None
+    assert stats["total"] == n
+    assert stats["tiers"] == (0.3, 0.6)
+    assert 0.0 <= stats["fallback_rate"] <= 1.0
+
+
+def test_maybe_recalibrate_on_forced_fallback():
+    # force every step to the padded fallback with an absurdly tight
+    # single tier; maybe_recalibrate must re-pick the ladder and reset
+    # the histogram
+    train, g, ef = _setup()
+    dg = g.device_graph()
+    tr = Trainer(_model(2), fanouts=[5, 5], sample_strategy="recent",
+                 lr=1e-3, layer_dedup=0.01, auto_calibrate=False)
+    tr._auto_knobs["layer_dedup"] = True   # allow re-pick
+    efj = jnp.asarray(ef)
+    state = tr.init_state(jax.random.PRNGKey(0), dg, 240, None, efj,
+                          num_nodes=g.max_vertex_id() + 1)
+    neg = DstRandEdgeSampler(train.dst, seed=1)
+    rng = np.random.RandomState(0)
+    batches = []
+    for i, b in enumerate(get_batches(train, 240, neg, rng=rng)):
+        if i >= 3:
+            break
+        batches.append(b)
+        state, _, _, _ = tr.train_step(state, dg, None, efj, b)
+    before = tr.tier_take_stats(state)
+    assert before["fallback_rate"] == 1.0
+    state = tr.maybe_recalibrate(state, dg, batches[-1].target_nodes,
+                                 batches[-1].ts, min_steps=3)
+    after = tr.tier_take_stats(state)
+    assert after["total"] == 0               # histogram reset
+    assert tr._dedup_tiers() != (0.01,)      # ladder re-picked
+    # training continues fine with the new ladder
+    state, loss, _, _ = tr.train_step(state, dg, None, efj, batches[0])
+    assert np.isfinite(float(loss))
 
 
 def test_dp_sharded_matches_single_device():
@@ -191,9 +263,10 @@ def test_snapshot_dedup_beats_or_defers_to_compaction():
     assert tr._calibrated
     assert all(np.isfinite(losses))
     if tr.layer_dedup is not None:
-        assert isinstance(tr.layer_dedup, float)
+        tiers = tr._dedup_tiers()
+        assert tiers
         if tr.compact_factor is not None:
-            assert tr.layer_dedup < 0.9 * tr.compact_factor
+            assert min(tiers) < 0.9 * tr.compact_factor
 
 
 def test_snapshot_dedup_uniform_trains():
@@ -256,5 +329,88 @@ def test_static_gat_dedup_matches_padded_exactly():
 def test_static_auto_calibration_picks_factor():
     losses, tr = _static_losses("SAGE", "auto", auto_calibrate=True)
     assert tr._calibrated
-    assert isinstance(tr.layer_dedup, float)
+    assert tr._dedup_tiers(), tr.layer_dedup
+    assert all(np.isfinite(losses))
+
+
+def test_snapshot_tier_ladder_matches_padded_exactly():
+    a, _ = _snap_losses(None)
+    b, _ = _snap_losses((0.05, 0.6))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------
+# PartitionedTrainer: the dedup fast paths compose with routed sampling
+# (round 4 — the reference's multi-node mode runs the same model code as
+# single-machine, offline_edge_prediction_multi_node_kvstore.py)
+
+
+def _part_losses(layer_dedup, steps=4, mode="routed", snapshots=1,
+                 window=0.0, batch=240, auto_calibrate=False):
+    from gnnflow_tpu.parallel import (PartitionedDynamicGraph,
+                                      get_partitioner, make_mesh)
+    from gnnflow_tpu.parallel.partitioned_trainer import PartitionedTrainer
+    train, _, _, full, _, ef = make_synthetic_dataset(
+        num_src=120, num_dst=30, num_edges=5000, dim_edge=12, seed=5,
+        time_scale=1.0)
+    mesh = make_mesh(4)
+    pg = PartitionedDynamicGraph(
+        4, mesh=mesh, initial_pool_size=4096,
+        maximum_pool_size=1 << 22, mem_resource_type="hbm",
+        minimum_block_size=8, insertion_policy="insert")
+    part = get_partitioner("hash", 4)
+    parts, _ = part.partition(full.src, full.dst, full.time, full.eid)
+    pg.add_partitioned_edges(parts)
+    pg.set_partition_table(part.get_partition_table())
+    model = DGNN(dim_node=0, dim_edge=12, dim_time=16, dim_embed=32,
+                 num_layers=2, num_snapshots=snapshots, att_head=2,
+                 dropout=0.0, att_dropout=0.0, use_memory=False)
+    tr = PartitionedTrainer(
+        model, mesh, sampling_mode=mode, fanouts=[5, 5], lr=1e-3,
+        num_snapshots=snapshots, snapshot_time_window=window,
+        prop_time=snapshots > 1, layer_dedup=layer_dedup,
+        auto_calibrate=auto_calibrate)
+    dg = pg.device_graph()
+    efj = jnp.asarray(ef)
+    state = tr.init_state(jax.random.PRNGKey(0), dg, batch, None, efj,
+                          num_nodes=pg.max_vertex_id() + 1)
+    neg = DstRandEdgeSampler(train.dst, seed=1)
+    losses = []
+    rng = np.random.RandomState(0)
+    final_state = state
+    for i, b in enumerate(get_batches(train, batch, neg, rng=rng)):
+        if i >= steps:
+            break
+        state, loss, _, _ = tr.train_step(state, dg, None, efj, b)
+        final_state = state
+        losses.append(float(loss))
+    return losses, tr, final_state
+
+
+def test_partitioned_layer_dedup_matches_padded():
+    a, _, _ = _part_losses(None)
+    b, tr, st = _part_losses(0.5)
+    np.testing.assert_allclose(b, a, rtol=5e-4)
+    stats = tr.tier_take_stats(st)
+    assert stats["counts"][0] > 0          # the fast tier engaged
+
+
+def test_partitioned_layer_dedup_replicated_mode():
+    a, _, _ = _part_losses(None, mode="replicated")
+    b, _, _ = _part_losses(0.5, mode="replicated")
+    np.testing.assert_allclose(b, a, rtol=5e-4)
+
+
+def test_partitioned_snapshot_dedup_matches_padded():
+    a, _, _ = _part_losses(None, snapshots=3, window=2.0)
+    b, tr, st = _part_losses(0.6, snapshots=3, window=2.0)
+    np.testing.assert_allclose(b, a, rtol=5e-4)
+    stats = tr.tier_take_stats(st)
+    assert stats["counts"][0] > 0
+
+
+def test_partitioned_auto_calibration_picks_tiers():
+    losses, tr, _ = _part_losses("auto", steps=3, auto_calibrate="auto")
+    assert tr._calibrated
+    assert tr._dedup_tiers(), tr.layer_dedup
     assert all(np.isfinite(losses))
