@@ -18,13 +18,16 @@ XLA program with GSPMD-inserted collectives.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gnnflow_tpu.models import memory as memory_lib
 from gnnflow_tpu.parallel.dist_graph import (PartitionedDeviceGraph,
                                              sample_hops_partitioned,
-                                             sample_hops_routed)
+                                             sample_hops_routed,
+                                             sample_layer_partitioned,
+                                             sample_layer_routed)
 from gnnflow_tpu.parallel.kvstore import put_global, shard_memory_state
 from gnnflow_tpu.parallel.mesh import DATA_AXIS
 from gnnflow_tpu.train import Trainer, _valid_mask
@@ -42,6 +45,13 @@ class PartitionedTrainer(Trainer):
       partition skew (``sample_hops_partitioned``).
     """
 
+    # block compaction's packed-root sampling is single-store only; the
+    # per-boundary (nid, ts) dedup paths compose with routed sampling —
+    # each boundary's compact unique roots route to owners like any
+    # other roots (round 4; loss-equality under the partitioned store is
+    # covered by tests/test_layer_dedup.py's partitioned variants)
+    _fast_paths = frozenset({"snapshot_dedup", "layer_dedup"})
+
     def __init__(self, model, mesh: Mesh, sampling_mode: str = "routed",
                  capacity_factor="auto", overflow_fallback: bool = True,
                  **kwargs):
@@ -58,10 +68,13 @@ class PartitionedTrainer(Trainer):
         # the (nid, ts) GRU dedup sorts the full instance axis — under
         # GSPMD that would all-gather the batch-sharded MFGs; keep the
         # partitioned step per-instance unless explicitly requested.
-        # Auto-calibration is off: calibrate() samples the single-store
-        # path, which a partitioned graph does not expose.
         kwargs.setdefault("dedup_factor", None)
-        kwargs.setdefault("auto_calibrate", False)
+        # auto-calibration probes sample the partitioned store through
+        # the _sample_plain override (eager shard_map); under
+        # multi-controller jax.distributed the probe batches would need
+        # global arrays per process, so it stays opt-in there.
+        if jax.process_count() > 1:
+            kwargs.setdefault("auto_calibrate", False)
         super().__init__(model, **kwargs)
         repl = NamedSharding(mesh, P())
         batch = NamedSharding(mesh, P(DATA_AXIS))
@@ -106,6 +119,9 @@ class PartitionedTrainer(Trainer):
             put_global(np.asarray(_valid_mask(batch)), self.mesh, b))
 
     def train_step(self, state, dg, node_feats, edge_feats, batch):
+        self._maybe_auto_calibrate(
+            dg, np.asarray(batch.target_nodes, np.int32),
+            np.asarray(batch.ts, np.float32))
         return self._train_step(state, dg, node_feats, edge_feats,
                                 *self._batch_arrays(batch), True)
 
@@ -146,3 +162,55 @@ class PartitionedTrainer(Trainer):
             strategy=self.strategy, num_snapshots=self.num_snapshots,
             window=self.window, prop_time=self.prop_time,
             search_iters=self._iters(dg), key=key)
+
+    def _sample_plain(self, dg, roots, ts, key):
+        """Calibration probes sample the PARTITIONED store (there is no
+        single-store view); routed/replicated per sampling_mode."""
+        self._resolve_capacity(dg)
+        return self._sample(dg, jnp.asarray(roots, jnp.int32),
+                            jnp.asarray(ts, jnp.float32), key)
+
+    def _layer_kw(self, dg, snapshot_idx=0):
+        return dict(strategy=self.strategy, snapshot_idx=snapshot_idx,
+                    num_snapshots=self.num_snapshots, window=self.window,
+                    prop_time=self.prop_time,
+                    search_iters=self._iters(dg))
+
+    def _sample_layer(self, dg, roots, ts, *, fanout, key=None):
+        """One distributed layer sample — used by the per-boundary
+        dedup fast paths, whose compact unique roots route to owner
+        partitions exactly like batch roots."""
+        if self.sampling_mode == "routed" \
+                and roots.shape[0] % dg.num_partitions == 0:
+            return sample_layer_routed(
+                dg, self.mesh, roots, ts, fanout=fanout,
+                key=key, capacity_factor=self.capacity_factor,
+                overflow_fallback=self.overflow_fallback,
+                **self._layer_kw(dg))
+        return sample_layer_partitioned(
+            dg, self.mesh, roots, ts, fanout=fanout, key=key,
+            **self._layer_kw(dg))
+
+    def _sample_layer_snaps(self, dg, R, T, *, fanout,
+                            shared_roots=False, key=None):
+        """Per-snapshot distributed layer sampling ([S, B] roots ->
+        list of S MFGs).  No fused stacked pass across the partitioned
+        store — each snapshot routes independently (the reference's
+        multi-node sampler also loops snapshots,
+        ``dist_sampler.py:129-157``)."""
+        del shared_roots
+        out = []
+        for s in range(self.num_snapshots):
+            k = jax.random.fold_in(key, s) if key is not None else None
+            if self.sampling_mode == "routed" \
+                    and R.shape[1] % dg.num_partitions == 0:
+                out.append(sample_layer_routed(
+                    dg, self.mesh, R[s], T[s], fanout=fanout, key=k,
+                    capacity_factor=self.capacity_factor,
+                    overflow_fallback=self.overflow_fallback,
+                    **self._layer_kw(dg, snapshot_idx=s)))
+            else:
+                out.append(sample_layer_partitioned(
+                    dg, self.mesh, R[s], T[s], fanout=fanout, key=k,
+                    **self._layer_kw(dg, snapshot_idx=s)))
+        return out
