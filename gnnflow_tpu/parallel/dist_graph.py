@@ -312,7 +312,8 @@ def sample_layer_routed(
         prop_time: bool = False, search_iters: int = 32,
         key: Optional[jax.Array] = None,
         capacity_factor: float = 4.0,
-        overflow_fallback: bool = True) -> MFG:
+        overflow_fallback: bool = True,
+        partial_overflow_factor: float = 0.125) -> MFG:
     """Owner-routed distributed layer sample — the scalable path.
 
     The psum-merge path (:func:`sample_layer_partitioned`) replicates all
@@ -334,16 +335,27 @@ def sample_layer_routed(
        dst order exactly (the ``_merge_sampling_results`` analogue,
        ``dist_sampler.py:244-314``).
 
-    **Skew guard** (``overflow_fallback=True``, default): when any root
-    would overflow its destination bucket (a skewed partition table, e.g.
-    from the least-loaded/Fennel partitioners), a replicated psum-merge
-    pass handles the WHOLE layer instead — an in-jit ``lax.cond`` whose
-    predicate is the psum'd overflow flag, so no root is ever dropped
-    (matching the reference, whose RPC path has no capacity limit,
-    ``dist_sampler.py:159-242``).  The fallback costs O(B·F) per device
-    for that layer only; :func:`routed_load_stats` reports the host-side
-    fallback rate.  With ``overflow_fallback=False`` overflowing roots
-    yield fully-masked rows — same degradation as the reference's
+    **Skew guard** (``overflow_fallback=True``, default), two graduated
+    responses so a handful of hot roots never degrades the whole layer
+    (round 4; the reference's dynamic load-aware scheduling likewise
+    re-routes only the hot requests, ``dist_sampler.py:337-377``):
+
+    1. **Partial overflow** — roots that overflow their destination
+       bucket (≤ ``partial_overflow_factor · b`` of them per device) are
+       packed into a small side buffer, ``all_gather``-ed, sampled
+       replicated-style against every local partition (owner-masked) and
+       psum-merged — an O(P · b · partial_overflow_factor · F) side pass
+       whose rows replace exactly the dropped rows of the routed result.
+    2. **Full fallback** — only when even the side buffer would
+       overflow does a replicated psum-merge pass handle the WHOLE layer
+       (O(B·F) per device).
+
+    Both are in-jit ``lax.cond`` branches on psum'd predicates, so no
+    root is ever dropped (matching the reference, whose RPC path has no
+    capacity limit, ``dist_sampler.py:159-242``);
+    :func:`routed_load_stats` reports the host-side partial/fallback
+    rates.  With ``overflow_fallback=False`` overflowing roots yield
+    fully-masked rows — same degradation as the reference's
     unpartitioned(-1) vertices (``dist_sampler.py:222-236``).
 
     Returns a **batch-sharded** MFG (fields sharded over ``DATA_AXIS``).
@@ -357,6 +369,8 @@ def sample_layer_routed(
                          f"({nparts}) for routed sampling")
     b = B // nparts
     cap = _bucket_capacity(b, nparts, capacity_factor)
+    cap_ovf = min(b, _round_up(
+        max(8, int(np.ceil(partial_overflow_factor * b))), 8))
     inval_nid = jnp.int32(INVALID_NID)
     sample_kw = dict(fanout=fanout, strategy=strategy,
                      snapshot_idx=snapshot_idx,
@@ -451,14 +465,64 @@ def sample_layer_routed(
                     shard(nbr_ts), shard(nbr_dts),
                     shard(jnp.where(mask, nbr_eids, 0)), shard(mask))
 
+        def routed_with_partial(_):
+            # routed main pass (overflowing roots come back masked) +
+            # a small replicated side pass over ONLY the overflow set,
+            # whose rows replace exactly the dropped rows
+            nids, ts_, dts, eids, mask = routed(None)
+            oslot = jnp.cumsum(oflag.astype(jnp.int32)) - 1
+            o_idx = jnp.where(oflag, oslot, cap_ovf)
+            buf_r = jnp.full((cap_ovf,), inval_nid, NID_DTYPE).at[
+                o_idx].set(roots, mode="drop")
+            buf_t = jnp.zeros((cap_ovf,), TS_DTYPE).at[
+                o_idx].set(root_ts, mode="drop")
+            all_r = jax.lax.all_gather(buf_r, DATA_AXIS, tiled=True)
+            all_t = jax.lax.all_gather(buf_t, DATA_AXIS, tiled=True)
+            mo = _local_masked_sample(
+                g, (all_r >= 0) &
+                   (pt[jnp.clip(all_r, 0, pt.shape[0] - 1)] == pid),
+                all_r, all_t, key=k, **sample_kw)
+            m_nids = jax.lax.psum(
+                jnp.where(mo.nbr_mask, mo.nbr_nids + 1, 0), DATA_AXIS) - 1
+            m_ts = jax.lax.psum(
+                jnp.where(mo.nbr_mask, mo.nbr_ts, 0.0), DATA_AXIS)
+            m_dts = jax.lax.psum(
+                jnp.where(mo.nbr_mask, mo.nbr_dts, 0.0), DATA_AXIS)
+            m_eids = jax.lax.psum(
+                jnp.where(mo.nbr_mask, mo.nbr_eids, 0), DATA_AXIS)
+            m_mask = jax.lax.psum(mo.nbr_mask.astype(jnp.int32),
+                                  DATA_AXIS) > 0
+
+            def seg(x):
+                return jax.lax.dynamic_slice_in_dim(
+                    x, pid * cap_ovf, cap_ovf, axis=0)
+
+            s_nids = seg(jnp.where(m_mask, m_nids, inval_nid))
+            s_ts, s_dts = seg(m_ts), seg(m_dts)
+            s_eids = seg(jnp.where(m_mask, m_eids, 0))
+            s_mask = seg(m_mask)
+            src = jnp.where(oflag, oslot, 0)
+            take = oflag[:, None]
+            return (jnp.where(take, s_nids[src], nids),
+                    jnp.where(take, s_ts[src], ts_),
+                    jnp.where(take, s_dts[src], dts),
+                    jnp.where(take, s_eids[src], eids),
+                    jnp.where(take, s_mask[src], mask))
+
         if overflow_fallback:
-            # predicate is psum'd -> identical on every device, so all
+            # predicates are psum'd -> identical on every device, so all
             # devices take the same branch (collectives stay collective)
-            ovf = jax.lax.psum(
-                jnp.any((slot >= cap) & (owner >= 0)).astype(jnp.int32),
-                DATA_AXIS) > 0
+            oflag = (slot >= cap) & (owner >= 0)
+            n_ovf = jnp.sum(oflag.astype(jnp.int32))
+            flags = jax.lax.psum(
+                jnp.stack([(n_ovf > 0).astype(jnp.int32),
+                           (n_ovf > cap_ovf).astype(jnp.int32)]),
+                DATA_AXIS)
             nids, ts_, dts, eids, mask = jax.lax.cond(
-                ovf, replicated, routed, None)
+                flags[1] > 0, replicated,
+                lambda op: jax.lax.cond(flags[0] > 0, routed_with_partial,
+                                        routed, op),
+                None)
         else:
             nids, ts_, dts, eids, mask = routed(None)
         return MFG(root_nids=roots, root_ts=root_ts, nbr_nids=nids,
@@ -485,8 +549,10 @@ def routed_overflow_check(partition_table: np.ndarray, roots: np.ndarray,
                           capacity_factor: float = 4.0) -> int:
     """Host-side audit: how many roots of this batch would overflow their
     destination bucket under :func:`sample_layer_routed`.  Returns the
-    overflow count (0 = routed sampling is exact for this batch; > 0 =
-    the in-jit skew guard takes the replicated fallback for the layer)."""
+    overflow count (0 = the pure routed path is exact for this batch;
+    > 0 = the in-jit skew guard serves the overflow set through the
+    small partial side pass, or — if a device's overflow count exceeds
+    the side-buffer capacity — the whole-layer replicated fallback)."""
     roots = np.asarray(roots).reshape(num_partitions, -1)
     b = roots.shape[1]
     cap = _bucket_capacity(b, num_partitions, capacity_factor)
@@ -523,7 +589,8 @@ def auto_capacity_factor(partition_table: np.ndarray,
 
 def routed_load_stats(partition_table: np.ndarray, roots: np.ndarray,
                       num_partitions: int,
-                      capacity_factor: float = 4.0) -> dict:
+                      capacity_factor: float = 4.0,
+                      partial_overflow_factor: float = 0.125) -> dict:
     """Host-side sampling-load observability for one batch of roots.
 
     The analogue of the reference's per-worker sampling-time CV metric
@@ -531,9 +598,11 @@ def routed_load_stats(partition_table: np.ndarray, roots: np.ndarray,
     ``offline_edge_prediction_multi_node_kvstore.py:453-460``): here the
     per-owner routed root COUNT is the deterministic proxy for per-worker
     sampling load (local sampling work is O(roots·fanout)).  Returns
-    ``{"counts": [P], "cv": float, "overflow": int, "fallback": bool}``
-    where ``fallback`` says whether the in-jit skew guard would take the
-    replicated path for this batch's first layer."""
+    ``{"counts": [P], "cv": float, "overflow": int, "partial": bool,
+    "fallback": bool}`` where ``partial`` says the in-jit skew guard
+    serves this batch's first layer through the small overflow side pass
+    and ``fallback`` says a device's overflow count exceeds the side
+    buffer so the WHOLE layer takes the replicated path."""
     pt = np.asarray(partition_table)
     r = np.asarray(roots)
     r = r[r >= 0]
@@ -543,8 +612,24 @@ def routed_load_stats(partition_table: np.ndarray, roots: np.ndarray,
     cv = float(counts.std() / mean) if mean > 0 else 0.0
     overflow = routed_overflow_check(partition_table, roots,
                                      num_partitions, capacity_factor)
+    # per-device overflow vs the side-buffer capacity decides full
+    # fallback (mirrors the in-jit predicate)
+    shards = np.asarray(roots).reshape(num_partitions, -1)
+    b = shards.shape[1]
+    cap = _bucket_capacity(b, num_partitions, capacity_factor)
+    cap_ovf = min(b, _round_up(
+        max(8, int(np.ceil(partial_overflow_factor * b))), 8))
+    full_fb = False
+    for shard in shards:
+        s = shard[shard >= 0]
+        own = pt[np.clip(s, 0, len(pt) - 1)]
+        c = np.bincount(own[own >= 0], minlength=num_partitions)
+        if int(np.maximum(c - cap, 0).sum()) > cap_ovf:
+            full_fb = True
+            break
     return {"counts": counts, "cv": cv, "overflow": overflow,
-            "fallback": overflow > 0}
+            "partial": overflow > 0 and not full_fb,
+            "fallback": full_fb}
 
 
 def sample_hops_routed(

@@ -82,6 +82,51 @@ def test_fallback_exact_under_extreme_skew():
     assert ov > 0
 
 
+def test_partial_overflow_near_routed_cost():
+    """A few hot roots (<5% of the batch overflow their buckets) must be
+    served by the SMALL side pass — not the whole-layer replicated
+    fallback — and stay bit-identical to the single store (round 4;
+    reference analogue: dynamic load-aware scheduling re-routes only hot
+    requests, dist_sampler.py:337-377)."""
+    full, _ = _dataset()
+    mesh = make_mesh(4)
+    g = DynamicGraph(**GRAPH_KW)
+    g.add_edges(full.src, full.dst, full.time, full.eid)
+    part = get_partitioner("hash", 4)
+    pg = _build_partitioned(full, mesh, part)
+    single = TemporalSampler(g, fanouts=[4, 3])
+    t = float(full.time.max())
+    pgv = pg.device_graph()
+    pt = np.asarray(pgv.partition_table)
+    # deterministic construction: 14 distinct roots per owner class per
+    # device (balanced base load, cap=16 at factor 1.0) + 8 hot copies
+    # of one class-0 vertex -> exactly ONE bucket overflows by 6 per
+    # device, well inside the side buffer (cap_ovf=8)
+    classes = [np.where(pt[:150] == p)[0] for p in range(4)]
+    assert all(len(c) >= 15 for c in classes)
+    hot = int(classes[0][0])
+    shard = np.concatenate([c[1:15] for c in classes]
+                           + [np.full(8, hot, np.int64)])
+    roots = np.concatenate([shard] * 4).astype(np.int64)   # B=256, b=64
+    ts = np.full(roots.shape[0], t, np.float32)
+    stats = routed_load_stats(pt, roots, 4, capacity_factor=1.0)
+    assert stats["overflow"] > 0, stats
+    assert stats["partial"] and not stats["fallback"], stats
+    mfgs = sample_hops_routed(
+        pgv, mesh, jnp.asarray(roots, jnp.int32), jnp.asarray(ts),
+        fanouts=[4, 3], search_iters=16, capacity_factor=1.0,
+        overflow_fallback=True)
+    ref = single.sample(roots, ts)
+    for layer in range(2):
+        a, b = mfgs[layer][0], ref[layer][0]
+        np.testing.assert_array_equal(np.asarray(a.nbr_nids),
+                                      np.asarray(b.nbr_nids))
+        np.testing.assert_array_equal(np.asarray(a.nbr_eids),
+                                      np.asarray(b.nbr_eids))
+        np.testing.assert_array_equal(np.asarray(a.nbr_mask),
+                                      np.asarray(b.nbr_mask))
+
+
 def test_skewed_table_trainer_zero_root_loss():
     """A heavily skewed partition table (the shape least-loaded/Fennel
     partitioners can produce on real streams) trained with routed
@@ -174,10 +219,15 @@ def test_routed_load_stats():
     np.testing.assert_array_equal(s["counts"], [5, 1, 1, 1])
     assert s["cv"] == pytest.approx(np.std([5, 1, 1, 1]) / 2.0)
     assert s["overflow"] == 0 and not s["fallback"]
-    # tiny capacity -> overflow -> fallback flagged
+    # small overflow (8/device == side-buffer capacity) -> the PARTIAL
+    # side pass serves it; no whole-layer fallback (round 4)
     s2 = routed_load_stats(pt, np.zeros(64, np.int64), 4,
                            capacity_factor=1.0)
-    assert s2["overflow"] > 0 and s2["fallback"]
+    assert s2["overflow"] > 0 and s2["partial"] and not s2["fallback"]
+    # massive overflow (48/device >> side buffer) -> full fallback
+    s3 = routed_load_stats(pt, np.zeros(256, np.int64), 4,
+                           capacity_factor=1.0)
+    assert s3["overflow"] > 0 and s3["fallback"] and not s3["partial"]
 
 
 def test_trainer_auto_capacity_resolves():
