@@ -83,7 +83,12 @@ def run_model_matrix(jax, jnp, dg, g, full, train, nf, ef, dim_node,
     neg = DstRandEdgeSampler(train.dst, seed=1)
     out = {}
     B = 4000
-    for name in ("TGAT", "DySAT", "APAN", "GRAPHSAGE"):
+    groups = 3   # repeat groups -> min/median variance picture
+    names = ("TGAT", "DySAT", "APAN", "GRAPHSAGE", "GAT")
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        names = tuple(n for n in names if n in only.split(","))
+    for name in names:
         try:
             mc, _ = get_default_config(name, "REDDIT")
             mc["compute_dtype"] = "bfloat16"
@@ -100,22 +105,33 @@ def run_model_matrix(jax, jnp, dg, g, full, train, nf, ef, dim_node,
             tn, ts, eids, valid = staged[0]
             # train_step_arrays (not _train_step): the public wrapper
             # triggers first-batch auto-calibration, i.e. the production
-            # path (layer_dedup for TGAT, transformer dedup for APAN,
-            # window compaction for DySAT)
+            # path (layer-dedup tiers for TGAT, transformer dedup for
+            # APAN, snapshot dedup / window compaction for DySAT)
             s = trainer.train_step_arrays(state, dg, nfd, ef, tn, ts,
                                           eids, valid, True)
             float(s[1])  # warmup ends with a value fetch
             state = s[0]
-            t0 = time.perf_counter()
-            for i in range(repeats):
-                tn, ts, eids, valid = staged[i % len(staged)]
-                state, loss, _, _ = trainer.train_step_arrays(
-                    state, dg, nfd, ef, tn, ts, eids, valid, True)
-            float(loss)
-            dt = (time.perf_counter() - t0) / repeats
+            means = []
+            k = 0
+            for _ in range(groups):
+                t0 = time.perf_counter()
+                for _ in range(repeats):
+                    tn, ts, eids, valid = staged[k % len(staged)]
+                    k += 1
+                    state, loss, _, _ = trainer.train_step_arrays(
+                        state, dg, nfd, ef, tn, ts, eids, valid, True)
+                float(loss)
+                means.append((time.perf_counter() - t0) / repeats)
+            dt = float(np.median(means))
             out[name] = {"ms_per_step": round(dt * 1e3, 2),
+                         "ms_per_step_min": round(min(means) * 1e3, 2),
+                         "ms_per_step_max": round(max(means) * 1e3, 2),
                          "samples_per_sec": round(3 * B / dt),
                          "batch": B}
+            tstats = trainer.tier_take_stats(state)
+            if tstats and tstats["total"]:
+                out[name]["dedup_tiers"] = list(tstats["tiers"])
+                out[name]["tier_takes"] = tstats["counts"]
         except Exception as e:  # one model failing must not hide the rest
             out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
     return out

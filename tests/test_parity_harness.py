@@ -33,14 +33,25 @@ def test_no_data_skips_cleanly(tmp_path):
 
 @pytest.mark.slow
 def test_smoke_trains_and_passes(tmp_path):
+    """All six model cells + the two host-placement analogue cells run
+    end-to-end on the synthetic stream and clear the smoke bar (round 4:
+    the smoke default covers the full model grid so per-model plumbing —
+    e.g. DySAT's window flags — is exercised before real data exists)."""
+    # default smoke settings (3 epochs, 20k edges) — the proven-to-learn
+    # envelope for every cell incl. the host-placement analogues
     out = _run(["--smoke", "--platform", "cpu",
-                "--json-out", str(tmp_path / "report.json")])
+                "--json-out", str(tmp_path / "report.json")],
+               timeout=2700)
     assert out.returncode == 0, (out.stdout + out.stderr)[-2000:]
     report = json.load(open(tmp_path / "report.json"))
     assert report["summary"]["verdict"] == "PASS"
-    cell = report["cells"][0]
-    assert cell["status"] == "ok" and cell["pass"]
-    assert cell["test_ap"] >= 0.55
+    models = {c["model"] for c in report["cells"]}
+    assert models == {"TGN", "TGAT", "DySAT", "APAN", "GRAPHSAGE", "GAT"}
+    datasets = {c["dataset"] for c in report["cells"]}
+    assert {"SYNTHETIC-GDELT-HOST", "SYNTHETIC-MAG-HOST"} <= datasets
+    assert len(report["cells"]) == 8
+    for cell in report["cells"]:
+        assert cell["status"] == "ok" and cell["pass"], cell
 
 
 def test_expected_table_covers_grid():
@@ -63,3 +74,7 @@ def test_expected_table_covers_grid():
     for model in ["GRAPHSAGE", "GAT"]:
         for ds in ["WIKI", "REDDIT"]:
             assert (model, ds) in mod.EXPECTED_MIN_AP
+    # the big-bundle cells (loose sanity bars, see the table comment)
+    for key in [("TGN", "GDELT"), ("TGN", "MAG"), ("TGAT", "GDELT"),
+                ("TGAT", "MAG"), ("APAN", "GDELT")]:
+        assert key in mod.EXPECTED_MIN_AP
