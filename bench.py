@@ -186,6 +186,17 @@ def main():
     dg = g.device_graph()  # 128-aligned rows: 2x faster gathers
 
     batch_size = 4000
+    if os.environ.get("BENCH_HEADLINE", "1") == "0":
+        # matrix-only mode (BENCH_ONLY reruns): skip the TGN headline
+        # so slow-compiling models fit a wall-clock budget
+        extra = {"device": str(jax.devices()[0]),
+                 "models": run_model_matrix(
+                     jax, jnp, dg, g, full, train, nf, ef, dim_node,
+                     dim_edge)}
+        print(json.dumps({"metric": "model_matrix_only", "value": 0,
+                          "unit": "ms", "vs_baseline": 0,
+                          "extra": extra}))
+        return
     # bfloat16 compute (params f32) — standard TPU mixed precision;
     # AP parity with f32 verified in tests/test_end_to_end.py
     model = DGNN(dim_node=0, dim_edge=dim_edge, dim_time=100,

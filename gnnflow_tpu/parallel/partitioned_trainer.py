@@ -163,10 +163,14 @@ class PartitionedTrainer(Trainer):
             window=self.window, prop_time=self.prop_time,
             search_iters=self._iters(dg), key=key)
 
+    def _pre_calibrate(self, dg) -> None:
+        # must run before the jitted probe sampler traces (inside the
+        # trace the partition table is a tracer)
+        self._resolve_capacity(dg)
+
     def _sample_plain(self, dg, roots, ts, key):
         """Calibration probes sample the PARTITIONED store (there is no
         single-store view); routed/replicated per sampling_mode."""
-        self._resolve_capacity(dg)
         return self._sample(dg, jnp.asarray(roots, jnp.int32),
                             jnp.asarray(ts, jnp.float32), key)
 

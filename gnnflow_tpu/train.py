@@ -386,6 +386,11 @@ class Trainer:
             prop_time=self.prop_time, search_iters=self._iters(dg),
             compact_factor=self.compact_factor, key=key)
 
+    def _pre_calibrate(self, dg) -> None:
+        """Host-side hook before calibration probes trace (the jitted
+        probe sampler sees ``dg`` as tracers); PartitionedTrainer
+        resolves its routing capacity here."""
+
     def _sample_plain(self, dg, roots, ts, key):
         """Uncompacted multi-layer sampling for calibration probes;
         overridden by :class:`PartitionedTrainer` (partitioned stores
@@ -447,9 +452,15 @@ class Trainer:
         """
         key = key if key is not None else jax.random.PRNGKey(0)
         self._calibrated = True
+        self._pre_calibrate(dg)
         occ = []
         uniq_frac = []
         boundary_frac = []
+        # jit the probe sampler: eager op-by-op dispatch is pathologically
+        # slow on tunneled device runtimes, and every probe batch shares
+        # one shape -> one compile, N fast executions
+        _sample_probe = jax.jit(
+            lambda dg_, r_, t_: self._sample_plain(dg_, r_, t_, key))
         n = 0
         for batch in batches:
             if n >= max_batches:
@@ -464,7 +475,7 @@ class Trainer:
                 ts = jnp.asarray(batch.ts, jnp.float32)
             if self.is_static:
                 ts = jnp.full_like(ts, np.float32(3.4e38))
-            mfgs = self._sample_plain(dg, roots, ts, key)
+            mfgs = _sample_probe(dg, roots, ts)
             # occupancy of non-innermost layers' neighbor slots = the
             # deeper layers' root-compaction opportunity
             for layer in mfgs[1:]:
@@ -508,8 +519,8 @@ class Trainer:
             ts_b = jnp.asarray(ts, jnp.float32)
             if self.is_static:
                 ts_b = jnp.full_like(ts_b, np.float32(3.4e38))
-            mfgs = self._sample_plain(
-                dg, jnp.asarray(roots, jnp.int32), ts_b, key)
+            mfgs = _sample_probe(
+                dg, jnp.asarray(roots, jnp.int32), ts_b)
             if self.model.use_memory:
                 # memory-instance uniqueness is NOT stream-stationary
                 # either (recent picks overlap less as histories grow:
