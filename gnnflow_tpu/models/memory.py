@@ -687,15 +687,22 @@ class TransformerMemoryUpdater(nn.Module):
         v = kv[..., self.dim_memory:]
         H = self.att_head
         dh = self.dim_memory // H
-        qh = q.reshape(n, 1, H, dh)
-        kh = k.reshape(n, S, H, dh)
-        vh = v.reshape(n, S, H, dh)
-        att = jnp.sum(qh * kh, -1).astype(jnp.float32) \
-            / jnp.sqrt(jnp.float32(dh))                    # [n,S,H]
+        # reshape-free heads: block-indicator matmuls instead of the
+        # pathologically tiled [n, S, H, dh] reshapes (see
+        # TemporalAttentionLayer)
+        dm = self.dim_memory
+        sel = (jnp.arange(dm)[:, None] // dh ==
+               jnp.arange(H)[None, :]).astype(cdt)         # [dm, H]
+        qk = (q[:, None, :] * k).astype(cdt)               # [n, S, dm]
+        att = jax.lax.dot_general(
+            qk, sel, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) \
+            / jnp.sqrt(jnp.float32(dh))                    # [n, S, H]
         att = jax.nn.softmax(att, axis=1)
         att = nn.Dropout(self.dropout, deterministic=not train)(att)
-        upd = jnp.sum(vh * att[..., None].astype(cdt), axis=1).reshape(
-            n, self.dim_memory)
+        att_exp = jax.lax.dot_general(
+            att.astype(cdt), sel, (((2,), (1,)), ((), ())))
+        upd = jnp.sum(v * att_exp, axis=1)                 # [n, dm]
         upd = nn.LayerNorm(epsilon=1e-5)(
             mem.astype(jnp.float32) + upd.astype(jnp.float32))
 

@@ -348,19 +348,31 @@ class TemporalAttentionLayer(nn.Module):
                 Q.reshape(B, H, dh), K.reshape(B, F, H, dh),
                 V.reshape(B, F, H, dh), mask).reshape(B, self.dim_out)
         else:
-            Qh = Q.reshape(B, 1, H, dh)
-            Kh = K.reshape(B, F, H, dh)
-            Vh = V.reshape(B, F, H, dh)
-
-            att = nn.leaky_relu(
-                jnp.sum(Qh * Kh, axis=-1).astype(jnp.float32),
-                negative_slope=0.2)                        # [B, F, H]
+            # Reshape-free multi-head: the textbook
+            # ``reshape(B, F, H, dh)`` head split materializes
+            # pathologically tiled [B, F, H, dh] copies on TPU when the
+            # batched operands carry the {0,2,1} attention layout
+            # (profiled 4.8 ms/step of pure reshapes + 0.8 ms of
+            # broadcasts at the TGAT headline).  Per-head score/expand
+            # are block-diagonal selections over the feature axis, so
+            # compute them as matmuls against a constant [D, H] 0/1
+            # block-indicator — MXU work instead of relayouts, and the
+            # per-lane selection back (``att @ selᵀ``) is exact (each
+            # output lane reads exactly one head's weight).
+            D = self.dim_out
+            sel = (jnp.arange(D)[:, None] // dh ==
+                   jnp.arange(H)[None, :]).astype(cdt)     # [D, H]
+            qk = (Q[:, None, :] * K).astype(cdt)           # [B, F, D]
+            att = jax.lax.dot_general(
+                qk, sel, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [B, F, H]
+            att = nn.leaky_relu(att, negative_slope=0.2)
             att = masked_softmax(att, mask[..., None], axis=1)
             att = nn.Dropout(self.att_dropout,
                              deterministic=not train)(att)
-
-            agg = jnp.sum(Vh * att[..., None].astype(cdt), axis=1) \
-                .reshape(B, self.dim_out)
+            att_exp = jax.lax.dot_general(
+                att.astype(cdt), sel, (((2,), (1,)), ((), ())))
+            agg = jnp.sum(V * att_exp, axis=1)             # [B, D]
 
         out_parts = [agg, h_dst] if use_node else [agg]
         rst = MultiLinear(self.dim_out, name="w_out",

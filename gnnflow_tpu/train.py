@@ -604,6 +604,12 @@ class Trainer:
             vals = sorted(boundary_frac)
             qs = [vals[min(len(vals) - 1, int(q * len(vals)))]
                   for q in (0.45, 0.75)] + [vals[-1]]
+            # compile cost grows as (tiers+1)^(L-1) branch bodies (the
+            # per-boundary conds nest): 2-layer configs afford a full
+            # ladder; deeper ones get ONE tier (a 3-tier 3-layer DySAT
+            # config measured >40 min of XLA compile on v5e)
+            if len(self.fanouts) > 2:
+                qs = qs[:1]
             tiers = []
             for u in qs:
                 f = round(min(0.92, 1.25 * u + 0.03), 2)
