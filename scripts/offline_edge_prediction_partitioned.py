@@ -186,6 +186,20 @@ def main():
                 "roots %d, replicated-fallback batches %d/%d", epoch,
                 float(np.mean(cvs)), float(np.max(cvs)), overflow,
                 fallbacks, nbatches)
+        # layer-dedup engagement + drift re-calibration (same feedback
+        # loop as the single-store offline script)
+        tstats = trainer.tier_take_stats(state)
+        if tstats and tstats["total"]:
+            logging.info(
+                "epoch %d layer-dedup takes %s (tiers %s, fallback "
+                "rate %.2f)", epoch, tstats["counts"], tstats["tiers"],
+                tstats["fallback_rate"])
+            state = trainer.maybe_recalibrate(
+                state, dg,
+                np.concatenate([train_data.src[-batch_size:],
+                                train_data.dst[-batch_size:],
+                                train_data.dst[-batch_size:]]),
+                np.tile(train_data.time[-batch_size:], 3))
         # validation
         scores, labels = [], []
         for batch in get_batches(val_data, batch_size, val_neg):
