@@ -414,3 +414,14 @@ def test_partitioned_auto_calibration_picks_tiers():
     assert tr._calibrated
     assert tr._dedup_tiers(), tr.layer_dedup
     assert all(np.isfinite(losses))
+
+
+def test_deep_configs_cap_ladder_at_one_tier():
+    """3+-layer configs must calibrate at most ONE dedup tier: branch
+    bodies grow (tiers+1)^(L-1) and a 3-tier 3-layer config measured
+    >40 min of XLA compile on v5e."""
+    losses, tr = _losses("auto", fanouts=(4, 3, 3), steps=2,
+                         auto_calibrate=True)
+    assert tr._calibrated
+    assert len(tr._dedup_tiers()) <= 1
+    assert all(np.isfinite(losses))
