@@ -95,11 +95,18 @@ def main():
               f"compact={tr.compact_factor} takes="
               f"{tstats['counts'] if tstats else None}", flush=True)
 
-    run("padded", layer_dedup=None, model_compact=False,
-        compact_factor=None, auto_calibrate=False)
-    run("auto")
-    run("ladder(0.3,0.6)", layer_dedup=(0.3, 0.6), model_compact=False,
-        compact_factor=None, auto_calibrate=False)
+    import sys
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "padded"):
+        run("padded", layer_dedup=None, model_compact=False,
+            compact_factor=None, auto_calibrate=False)
+    if which in ("all", "auto"):
+        run("auto")
+    if which in ("all", "ladder"):
+        # ONE tier only: 3-layer branch bodies grow (tiers+1)^2 and a
+        # 2-tier ladder measured >40 min of XLA compile on v5e
+        run("ladder(0.45)", layer_dedup=0.45, model_compact=False,
+            compact_factor=None, auto_calibrate=False)
 
 
 if __name__ == "__main__":
