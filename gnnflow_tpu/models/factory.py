@@ -25,14 +25,16 @@ def build_model(name: str, model_config: dict, dim_node: int,
     if name == "graphsage":
         model = SAGE(dim_node=dim_node, dim_embed=cfg["dim_embed"],
                      num_layers=cfg["num_layers"],
-                     aggregator=cfg.get("aggregator", "mean"))
+                     aggregator=cfg.get("aggregator", "mean"),
+                     compute_dtype=cfg.get("compute_dtype"))
     elif name == "gat" and cfg.get("is_static", False):
         model = GAT(dim_node=dim_node, dim_embed=cfg["dim_embed"],
                     num_layers=cfg["num_layers"],
                     attn_head=tuple([cfg.get("att_head", 8)]
                                     * (cfg["num_layers"] - 1) + [1]),
                     feat_drop=cfg.get("dropout", 0.0),
-                    attn_drop=cfg.get("att_dropout", 0.0))
+                    attn_drop=cfg.get("att_dropout", 0.0),
+                    compute_dtype=cfg.get("compute_dtype"))
     else:  # tgn / tgat / dysat / apan — the unified DGNN
         model = DGNN(
             dim_node=dim_node, dim_edge=dim_edge,

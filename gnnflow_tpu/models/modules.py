@@ -113,6 +113,24 @@ class MultiLinear(nn.Module):
         return y
 
 
+class KernelParams(nn.Module):
+    """Kernel-only parameter holder with torch-default init.
+
+    Same variable tree as ``Linear(features, use_bias=False)`` — modules
+    that need the raw weight (to re-associate matmuls) stay
+    checkpoint-compatible when instantiated under the Linear's name."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kinit = torch_kernel_init if self.in_features > 0 \
+            else nn.initializers.zeros
+        return self.param("kernel", kinit,
+                          (self.in_features, self.out_features))
+
+
 class GateParams(nn.Module):
     """Kernel/bias parameter holder with torch-default init.
 
@@ -285,7 +303,10 @@ class TemporalAttentionLayer(nn.Module):
     dropout: float = 0.0
     att_dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None   # compute dtype (params stay f32)
-    attention_impl: str = "xla"         # "xla" | "pallas"
+    # "xla" (materialized K/V + block-indicator heads, the measured
+    # winner) | "xla_factorized" (K/V-free re-association — measured
+    # loser, see _factorized_attention) | "pallas"
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, mfg: MFG, h_all: Optional[jax.Array],
@@ -324,55 +345,78 @@ class TemporalAttentionLayer(nn.Module):
                             dtype=self.dtype)([h_dst, ztf])
         else:
             Q = h_dst  # identity (layers.py:76-79)
-        # fused K/V projection (one kernel for K and V) computed as a sum
-        # of per-part matmuls — the wide [*, h|e|t] concat never hits HBM.
-        # NB: keep the batched [B, F, *] operand form.  Flattening the
-        # parts to [B*F, *] 2-D matmuls looks like it should skip the
-        # {0,2,1} relayout copies visible in profiles, but measured
-        # MUCH worse on v5e (TGAT 58->87 ms, TGN 9.3->11.4, APAN
-        # 59->79): XLA's layout assignment for the batched form is the
-        # better global choice.
-        KV = MultiLinear(2 * self.dim_out, name="w_kv",
-                         dtype=self.dtype)([h_src, ef, tf])
-        K, V = KV[..., : self.dim_out], KV[..., self.dim_out:]
 
         H = self.num_head
         dh = self.dim_out // H
         use_pallas = (self.attention_impl == "pallas"
                       and not (train and self.att_dropout > 0))
-        if use_pallas:
-            # fused Pallas kernel (no attention-dropout path)
-            from gnnflow_tpu.ops.attention_pallas import \
-                neighborhood_attention
-            agg = neighborhood_attention(
-                Q.reshape(B, H, dh), K.reshape(B, F, H, dh),
-                V.reshape(B, F, H, dh), mask).reshape(B, self.dim_out)
+        if self.attention_impl == "xla_factorized" \
+                and H <= 4 and dh * H == self.dim_out:
+            # Factorized attention (OPT-IN, measured loser on v5e): K
+            # and V are never materialized.  score_h = Q_h·K_h
+            # distributes over the K/V projection's input parts:
+            # Q_h·(x_p @ Wk_p)_h = x_p·(Q_h @ Wk_p_hᵀ), so each part
+            # contributes a lane-reduce against a tiny per-root vector;
+            # aggregation uses the same identity in reverse.  On paper
+            # this removes the [B, F, 2·dim_out] K/V intermediates and
+            # their relayouts, but MEASURED MUCH WORSE at the TGAT
+            # headline (51.9 -> 77.0 ms/step, TGN 8.2 -> 14.9): XLA
+            # does not multi-output-fuse the per-head score/aggregate
+            # passes, so each becomes its own ~3.5 ms fusion re-reading
+            # the [B, F, d_p] parts with hostile layouts (profiled: 8
+            # such fusions ≈ 28 ms).  Kept opt-in, numerically
+            # validated, checkpoint-compatible (params in a GateParams
+            # named "w_kv" with the MultiLinear's tree).
+            agg = self._factorized_attention(Q, h_src, ef, tf, mask,
+                                             train)
         else:
-            # Reshape-free multi-head: the textbook
-            # ``reshape(B, F, H, dh)`` head split materializes
-            # pathologically tiled [B, F, H, dh] copies on TPU when the
-            # batched operands carry the {0,2,1} attention layout
-            # (profiled 4.8 ms/step of pure reshapes + 0.8 ms of
-            # broadcasts at the TGAT headline).  Per-head score/expand
-            # are block-diagonal selections over the feature axis, so
-            # compute them as matmuls against a constant [D, H] 0/1
-            # block-indicator — MXU work instead of relayouts, and the
-            # per-lane selection back (``att @ selᵀ``) is exact (each
-            # output lane reads exactly one head's weight).
-            D = self.dim_out
-            sel = (jnp.arange(D)[:, None] // dh ==
-                   jnp.arange(H)[None, :]).astype(cdt)     # [D, H]
-            qk = (Q[:, None, :] * K).astype(cdt)           # [B, F, D]
-            att = jax.lax.dot_general(
-                qk, sel, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [B, F, H]
-            att = nn.leaky_relu(att, negative_slope=0.2)
-            att = masked_softmax(att, mask[..., None], axis=1)
-            att = nn.Dropout(self.att_dropout,
-                             deterministic=not train)(att)
-            att_exp = jax.lax.dot_general(
-                att.astype(cdt), sel, (((2,), (1,)), ((), ())))
-            agg = jnp.sum(V * att_exp, axis=1)             # [B, D]
+            # fused K/V projection (one kernel for K and V) computed as
+            # a sum of per-part matmuls — the wide [*, h|e|t] concat
+            # never hits HBM.
+            # NB: keep the batched [B, F, *] operand form.  Flattening
+            # the parts to [B*F, *] 2-D matmuls looks like it should
+            # skip the {0,2,1} relayout copies visible in profiles, but
+            # measured MUCH worse on v5e (TGAT 58->87 ms, TGN
+            # 9.3->11.4, APAN 59->79): XLA's layout assignment for the
+            # batched form is the better global choice.
+            KV = MultiLinear(2 * self.dim_out, name="w_kv",
+                             dtype=self.dtype)([h_src, ef, tf])
+            K, V = KV[..., : self.dim_out], KV[..., self.dim_out:]
+
+            if use_pallas:
+                # fused Pallas kernel (no attention-dropout path)
+                from gnnflow_tpu.ops.attention_pallas import \
+                    neighborhood_attention
+                agg = neighborhood_attention(
+                    Q.reshape(B, H, dh), K.reshape(B, F, H, dh),
+                    V.reshape(B, F, H, dh), mask).reshape(B, self.dim_out)
+            else:
+                # Reshape-free multi-head: the textbook
+                # ``reshape(B, F, H, dh)`` head split materializes
+                # pathologically tiled [B, F, H, dh] copies on TPU when
+                # the batched operands carry the {0,2,1} attention
+                # layout (profiled 4.8 ms/step of pure reshapes + 0.8
+                # ms of broadcasts at the TGAT headline).  Per-head
+                # score/expand are block-diagonal selections over the
+                # feature axis, so compute them as matmuls against a
+                # constant [D, H] 0/1 block-indicator — MXU work
+                # instead of relayouts, and the per-lane selection back
+                # (``att @ selᵀ``) is exact (each output lane reads
+                # exactly one head's weight).
+                D = self.dim_out
+                sel = (jnp.arange(D)[:, None] // dh ==
+                       jnp.arange(H)[None, :]).astype(cdt)     # [D, H]
+                qk = (Q[:, None, :] * K).astype(cdt)           # [B, F, D]
+                att = jax.lax.dot_general(
+                    qk, sel, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [B, F, H]
+                att = nn.leaky_relu(att, negative_slope=0.2)
+                att = masked_softmax(att, mask[..., None], axis=1)
+                att = nn.Dropout(self.att_dropout,
+                                 deterministic=not train)(att)
+                att_exp = jax.lax.dot_general(
+                    att.astype(cdt), sel, (((2,), (1,)), ((), ())))
+                agg = jnp.sum(V * att_exp, axis=1)             # [B, D]
 
         out_parts = [agg, h_dst] if use_node else [agg]
         rst = MultiLinear(self.dim_out, name="w_out",
@@ -380,6 +424,61 @@ class TemporalAttentionLayer(nn.Module):
         rst = nn.relu(nn.Dropout(self.dropout,
                                  deterministic=not train)(rst))
         return nn.LayerNorm(epsilon=1e-5)(rst.astype(jnp.float32))
+
+    def _factorized_attention(self, Q, h_src, ef, tf, mask, train):
+        """Attention without materializing K or V.
+
+        For each head ``h`` and K/V-input part ``x_p`` (src embed, edge
+        feat, time enc), the score contribution is
+        ``x_p · (Q_h @ Wk_p_hᵀ)`` — a lane reduce of the already-present
+        ``[B, F, d_p]`` part against a per-root ``[B, d_p]`` vector —
+        and the aggregation contribution is
+        ``(Σ_f a_h · x_p) @ Wv_p_h`` — an attention-weighted reduce of
+        the raw part followed by a ``[d_p, dh]`` matmul.  Bias terms:
+        the K bias adds ``Q_h · bk_h`` to every score; the V bias adds
+        ``(Σ_f a_h) · bv_h`` (1 for rows with any valid edge, 0
+        otherwise).  Numerically the same sums as the materialized
+        form, reordered.  Params live in a GateParams named "w_kv" with
+        the same kernel/bias tree as the MultiLinear of the
+        materialized path, so checkpoints are interchangeable."""
+        B, F = mask.shape
+        D, H = self.dim_out, self.num_head
+        dh = D // H
+        cdt = self.dtype or jnp.float32
+        parts = [p.astype(cdt) for p in (h_src, ef, tf)
+                 if p.shape[-1] > 0]
+        fan_in = sum(p.shape[-1] for p in parts)
+        kernel, bias = GateParams(fan_in, 2 * D, name="w_kv")()
+        kernel, bias = kernel.astype(cdt), bias.astype(cdt)
+        Wk, Wv = kernel[:, :D], kernel[:, D:]
+        bk, bv = bias[:D], bias[D:]
+        Qc = Q.astype(cdt)
+
+        aggs = []
+        for h in range(H):
+            lo, hi = h * dh, (h + 1) * dh
+            Qh = Qc[:, lo:hi]                               # [B, dh]
+            s = Qh @ bk[lo:hi][:, None]                     # [B, 1]
+            off = 0
+            for p in parts:
+                d = p.shape[-1]
+                qt = Qh @ Wk[off:off + d, lo:hi].T          # [B, d]
+                s = s + jnp.sum(p * qt[:, None, :], axis=-1)
+                off += d
+            s = nn.leaky_relu(s.astype(jnp.float32),
+                              negative_slope=0.2)           # [B, F]
+            a = masked_softmax(s, mask, axis=1)
+            a = nn.Dropout(self.att_dropout,
+                           deterministic=not train)(a).astype(cdt)
+            agg_h = jnp.sum(a, axis=1)[:, None] * bv[lo:hi]  # [B, dh]
+            off = 0
+            for p in parts:
+                d = p.shape[-1]
+                xa = jnp.sum(p * a[:, :, None], axis=1)     # [B, d]
+                agg_h = agg_h + xa @ Wv[off:off + d, lo:hi]
+                off += d
+            aggs.append(agg_h)
+        return jnp.concatenate(aggs, axis=-1) if H > 1 else aggs[0]
 
 
 class EdgePredictor(nn.Module):

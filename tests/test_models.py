@@ -67,6 +67,31 @@ def test_attention_layer_shapes(dim_node, dim_edge, dim_time):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("dim_node,dim_edge,dim_time,H", [
+    (8, 4, 8, 2), (0, 4, 8, 2), (8, 0, 8, 4), (0, 0, 0, 2), (0, 4, 0, 1),
+    (12, 6, 10, 1)])
+def test_factorized_attention_matches_materialized(dim_node, dim_edge,
+                                                   dim_time, H):
+    """The default factorized attention (K/V never materialized) equals
+    the materialized xla_kv path on identical params."""
+    B, F, D = 5, 4, 16
+    mfg = make_mfg(B, F, seed=7)
+    rng = np.random.RandomState(2)
+    h_all = (jnp.asarray(rng.randn(B * (1 + F), dim_node), jnp.float32)
+             if dim_node else None)
+    ef = (jnp.asarray(rng.randn(B, F, dim_edge), jnp.float32)
+          if dim_edge else None)
+    kw = dict(dim_node=dim_node, dim_edge=dim_edge, dim_time=dim_time,
+              dim_out=D, num_head=H)
+    fac = TemporalAttentionLayer(attention_impl="xla_factorized", **kw)
+    mat = TemporalAttentionLayer(**kw)
+    params = fac.init(jax.random.PRNGKey(3), mfg, h_all, ef)
+    # identical variable trees -> params interchangeable
+    out_f = np.asarray(fac.apply(params, mfg, h_all, ef))
+    out_m = np.asarray(mat.apply(params, mfg, h_all, ef))
+    np.testing.assert_allclose(out_f, out_m, rtol=2e-5, atol=2e-5)
+
+
 def test_attention_no_valid_neighbors_gives_zero_agg():
     """Rows with zero valid neighbors aggregate to exactly zero before the
     output projection (DGL edge_softmax + sum semantics)."""
