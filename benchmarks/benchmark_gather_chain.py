@@ -216,3 +216,53 @@ def c_flatmm(table, idv):
 scan_bench(c_current, "att current")
 scan_bench(c_padkernel, "att padded-kernel")
 scan_bench(c_flatmm, "att flat-matmul")
+
+
+# --- f-major chain: gather [F, B, W] with F leading ----------------------
+# flat f-major gather reshapes to [F, B, W] as a pure bitcast (B % 8 == 0:
+# tile grouping unchanged), matmuls collapse to clean 2-D form, and the
+# softmax/aggregate become leading-dim reduces — no retile, no {0,2,1}.
+mask_t = mask.T  # [F, B]
+
+
+def c_fmajor(table, idv):
+    flat = jnp.clip(idv.T.reshape(-1), 0, R - 1)      # f-major order
+    rows = table[flat].astype(jnp.bfloat16).reshape(F, B, W)[..., :D]
+    rows = jnp.where(mask_t[..., None], rows, 0)
+    y = jax.lax.dot_general(rows, wk_full[:D].astype(jnp.bfloat16),
+                            (((2,), (0,)), ((), ())))  # [F, B, O]
+    s = jax.nn.softmax(y.astype(jnp.float32).sum(-1), axis=0)   # [F, B]
+    out = jnp.sum(y * s[..., None].astype(y.dtype), axis=0)     # [B, O]
+    return jnp.sum(out.astype(jnp.float32))
+
+
+scan_bench(c_fmajor, "att f-major")
+
+
+# and with a backward pass (the relayout taxes double in the grad)
+def grad_bench(body, name):
+    def loss(tab, idv):
+        return body(tab, idv)
+
+    g = jax.grad(loss)
+
+    @jax.jit
+    def run(table, ids_many):
+        def step(c, idv):
+            return c + jnp.sum(g(table, idv)[:4, :4]), None
+        out, _ = jax.lax.scan(step, jnp.float32(0), ids_many)
+        return out
+
+    float(run(table, ids_many))
+    ts = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        float(run(table, ids_many))
+        ts.append(time.perf_counter() - t0)
+    ts = np.array(ts) * 1e3 / K
+    print(f"grad {name:24s} median {np.median(ts):7.3f} ms/op  "
+          f"min {ts.min():7.3f}")
+
+
+grad_bench(c_current, "att current")
+grad_bench(c_fmajor, "att f-major")
