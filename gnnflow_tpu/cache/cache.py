@@ -320,6 +320,10 @@ class Cache:
         self.dim_node = dim_node
         self.dim_edge = dim_edge
         self.target_edge_features: Optional[jax.Array] = None
+        # f-leading edge-feature layout: fetch_feature returns
+        # [F, B, de] per MFG (set by callers whose model has
+        # DGNN.edge_major; see gnnflow_tpu.train.fetch_features)
+        self.edge_major = False
 
     # -- policy hooks ---------------------------------------------------
 
@@ -401,6 +405,8 @@ class Cache:
                     row.append(None)
                     continue
                 ids, valid = eid_arrs[l][s], emask_arrs[l][s]
+                if self.edge_major:
+                    ids, valid = ids.T, valid.T
                 row.append(self._fetch_kind(self.edge_cache, ids, valid,
                                             ids.shape))
             efs.append(row)

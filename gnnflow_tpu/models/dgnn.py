@@ -60,6 +60,11 @@ class DGNN(nn.Module):
     mailbox_slots: int = 1        # >1: APAN-style circular mailbox
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" mixed precision
     attention_impl: str = "xla"          # "xla" | "pallas"
+    # f-leading neighbor layout for the attention stack: edge features
+    # arrive [F, B, dim_edge] (see TemporalAttentionLayer.edge_major and
+    # Trainer/fetch_features, which read this flag).  Only meaningful
+    # with attention_impl == "xla".
+    edge_major: bool = False
     gru_impl: str = "xla"                # "xla" | "pallas" (fused memory GRU)
     neg_sample_ratio: int = 1            # negatives per positive edge
 
@@ -99,6 +104,8 @@ class DGNN(nn.Module):
                     att_dropout=self.att_dropout,
                     dtype=cdt,
                     attention_impl=self.attention_impl,
+                    edge_major=self.edge_major and
+                    self.attention_impl == "xla",
                     name=f"l{l}h{h}")
         self.layers = layers
 

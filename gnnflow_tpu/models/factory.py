@@ -51,6 +51,8 @@ def build_model(name: str, model_config: dict, dim_node: int,
             mailbox_slots=cfg.get("mailbox_slots", 1),
             compute_dtype=cfg.get("compute_dtype"),
             attention_impl=cfg.get("attention_impl", "xla"),
+            edge_major=cfg.get("edge_major",
+                               cfg.get("attention_impl", "xla") == "xla"),
             neg_sample_ratio=cfg.get("neg_sample_ratio", 1))
         sampler_kwargs["neg_sample_ratio"] = cfg.get("neg_sample_ratio", 1)
     return model, sampler_kwargs

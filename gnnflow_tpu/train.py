@@ -111,11 +111,17 @@ def fetch_features(mfgs: List[List[MFG]],
                    node_feats: Optional[jax.Array],
                    edge_feats: Optional[jax.Array],
                    dim_node: Optional[int] = None,
-                   dim_edge: Optional[int] = None):
+                   dim_edge: Optional[int] = None,
+                   edge_major: bool = False):
     """HBM-resident feature fetch (the ``Cache.fetch_feature`` fast path,
     ``gnnflow/cache/cache.py:255``, when everything fits on device).
     ``dim_node``/``dim_edge`` slice lane-padded tables back to the true
-    width."""
+    width.
+
+    ``edge_major=True`` gathers edge features in f-major order and
+    returns [F, B, de] arrays (the DGNN edge-major attention layout —
+    the f-major flat gather reshapes to its 3-D form as a pure bitcast,
+    where the b-major gather pays a sublane retile)."""
     nfs = []
     for mfg in mfgs[0]:
         nfs.append(_gather_rows(node_feats, mfg.all_nodes(),
@@ -124,8 +130,9 @@ def fetch_features(mfgs: List[List[MFG]],
     for layer in mfgs:
         row = []
         for mfg in layer:
-            row.append(_gather_rows(edge_feats, mfg.nbr_eids,
-                                    mfg.nbr_mask, dim_edge))
+            eids = mfg.nbr_eids.T if edge_major else mfg.nbr_eids
+            emask = mfg.nbr_mask.T if edge_major else mfg.nbr_mask
+            row.append(_gather_rows(edge_feats, eids, emask, dim_edge))
         efs.append(row)
     return nfs, efs
 
@@ -149,6 +156,10 @@ class Trainer:
                  layer_dedup="auto", apan_table="auto",
                  auto_calibrate="auto"):
         self.model = model
+        # f-leading edge-feature layout (DGNN.edge_major): fetch_features
+        # must gather [F, B, de] arrays for the attention stack
+        self._edge_major = bool(getattr(model, "edge_major", False)) \
+            and getattr(model, "attention_impl", "xla") == "xla"
         self.fanouts = tuple(int(f) for f in fanouts)
         self.strategy = sample_strategy
         self.num_snapshots = int(num_snapshots)
@@ -329,11 +340,14 @@ class Trainer:
         dim_node = getattr(self.model, "dim_node", 0)
         dim_edge = getattr(self.model, "dim_edge", 0)
         nfs, efs = fetch_features(mfgs, node_feats, edge_feats,
-                                  dim_node or None, dim_edge or None)
+                                  dim_node or None, dim_edge or None,
+                                  edge_major=self._edge_major)
         if node_feats is None and dim_node > 0:
             nfs = [jnp.zeros((m.num_all, dim_node)) for m in mfgs[0]]
         if edge_feats is None and dim_edge > 0:
-            efs = [[jnp.zeros((m.num_dst, m.fanout, dim_edge))
+            efs = [[jnp.zeros((m.fanout, m.num_dst, dim_edge)
+                               if self._edge_major else
+                               (m.num_dst, m.fanout, dim_edge))
                     for m in layer] for layer in mfgs]
         mem_input = None
         memory = None
@@ -782,7 +796,8 @@ class Trainer:
         use_dedup = bool(self.dedup_factor) and self.model.use_memory
         if not use_dedup:
             nfs, efs = fetch_features(mfgs, node_feats, edge_feats,
-                                      dn or None, de or None)
+                                      dn or None, de or None,
+                                      edge_major=self._edge_major)
             mem_input = None
             if self.model.use_memory:
                 mem_input = self._mem_input(state.memory, mfgs[0][0])
@@ -790,7 +805,8 @@ class Trainer:
                                    mem_input, nfs)
 
         from gnnflow_tpu.ops.dedup import dedup_instances
-        _, efs = fetch_features(mfgs, None, edge_feats, None, de or None)
+        _, efs = fetch_features(mfgs, None, edge_feats, None,
+                                de or None, edge_major=self._edge_major)
         m = mfgs[0][0]
         cap = self._dedup_cap(m.num_all)
         uniq_nid, uniq_ts, inv, n_uniq, sidx, rank_sorted = \
@@ -852,7 +868,8 @@ class Trainer:
             cm = list(reversed(mfgs_list))
             exps = list(reversed(expans))
             nfs, efs = fetch_features(cm, node_feats, edge_feats,
-                                      dn or None, de or None)
+                                      dn or None, de or None,
+                                      edge_major=self._edge_major)
             exps = [("blocks",) + e if e is not None else None
                     for e in exps]
             return self._run_model(
@@ -931,7 +948,8 @@ class Trainer:
             cm = [[m] for m in reversed(mlist)]
             ex = list(reversed(exps))
             nfs, efs = fetch_features(cm, node_feats, edge_feats,
-                                      dn or None, de or None)
+                                      dn or None, de or None,
+                                      edge_major=self._edge_major)
             return self._run_model(
                 state, cm, efs, kdrop, valid, train, None, nfs,
                 expansions=ex if any(e is not None for e in ex)
@@ -1024,7 +1042,8 @@ class Trainer:
             cm = list(reversed(mfgs_list))
             exps = list(reversed(expans))
             nfs, efs = fetch_features(cm, node_feats, edge_feats,
-                                      dn or None, de or None)
+                                      dn or None, de or None,
+                                      edge_major=self._edge_major)
             return self._run_model(
                 state, cm, efs, kdrop, valid, train, None, nfs,
                 expansions=exps if any(e is not None for e in exps)
@@ -1285,7 +1304,8 @@ class Trainer:
                 nfs, efs = fetch_features(
                     mfgs, nf, ef,
                     getattr(self.model, "dim_node", 0) or None,
-                    getattr(self.model, "dim_edge", 0) or None)
+                    getattr(self.model, "dim_edge", 0) or None,
+                    edge_major=self._edge_major)
                 mem_input = None
                 if self.model.use_memory:
                     mem_input = self._mem_input(state.memory, mfgs[0][0])

@@ -188,6 +188,7 @@ def main():
             args.edge_cache_ratio, args.node_cache_ratio, num_nodes,
             dgraph.num_edges(), node_feats, edge_feats,
             transfer_dtype=args.cache_transfer_dtype)
+        cache.edge_major = trainer._edge_major
         sampler = TemporalSampler(dgraph, **{
             k: v for k, v in sampler_kwargs.items()})
         if args.cache == "GNNLabStaticCache":

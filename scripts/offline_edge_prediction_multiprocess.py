@@ -181,6 +181,7 @@ def main():
             len(full),
             store.node_table if node_feats is not None else None,
             store.edge_table if edge_feats is not None else None)
+        cache.edge_major = trainer._edge_major
         cache.init_cache()
 
         def glob(x):
