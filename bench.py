@@ -26,15 +26,57 @@ static) at batch 4000, so a regression anywhere in the matrix shows up
 in ``BENCH_r{N}.json``.  Set ``BENCH_MODELS=0`` to skip the matrix (TGN
 headline only).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Prints the headline JSON line IMMEDIATELY after the TGN epoch measurement
+(so a stalled matrix compile can never void the run), then — once the model
+matrix finishes — re-prints the line with ``extra.models`` merged in.  A
+consumer taking either the first or the last JSON line on stdout gets a
+valid result.  ``BENCH_BUDGET_S`` (default 1200 s) bounds the whole run:
+remaining matrix models are skipped with ``"skipped_budget"`` markers once
+the deadline nears, and a SIGALRM at the budget flushes whatever partial
+result exists and exits 0 instead of hanging into an external timeout.
 """
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 200_000.0  # est. GNNFlow/TGL, TGN-REDDIT, 1xA100
+
+# --- wall-clock budget (round-4 lesson: the driver's run timed out with
+# zero output because nothing printed until the full matrix finished) ----
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+_T_START = time.monotonic()
+_PARTIAL = {"result": None}  # best result so far, flushed by the alarm
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - _T_START)
+
+
+def _emit(result):
+    print(json.dumps(result), flush=True)
+
+
+def _on_alarm(signum, frame):
+    # Last resort: budget expired mid-stage (likely a tunnel compile
+    # stall).  Flush the best partial result (or an explicit error line)
+    # and exit 0 so the harness records SOMETHING instead of rc=124/null.
+    res = _PARTIAL["result"]
+    if res is None:
+        res = {"metric": "tgn_reddit_train_throughput", "value": 0,
+               "unit": "samples/s", "vs_baseline": 0,
+               "extra": {"error": "budget_expired_before_headline",
+                         "budget_s": BUDGET_S}}
+    else:
+        res = dict(res)
+        res["extra"] = dict(res.get("extra", {}))
+        res["extra"]["budget_expired"] = True
+    _emit(res)
+    sys.stdout.flush()
+    os._exit(0)
 
 # v5e single-chip specs for the honesty floors
 HBM_BYTES_PER_SEC = 819e9       # v5e HBM bandwidth
@@ -70,7 +112,7 @@ def _stage_batches(get_batches, train, batch_size, neg, jnp, limit=None,
 
 
 def run_model_matrix(jax, jnp, dg, g, full, train, nf, ef, dim_node,
-                     dim_edge, repeats=12):
+                     dim_edge, repeats=12, reserve_s=90.0):
     """Per-dispatch ms/step for every non-headline model family at its
     reference config, batch 4000 (the equal-batch hardware picture —
     the reference's tiny TGAT/DySAT default batches under-utilize any
@@ -89,6 +131,12 @@ def run_model_matrix(jax, jnp, dg, g, full, train, nf, ef, dim_node,
     if only:
         names = tuple(n for n in names if n in only.split(","))
     for name in names:
+        if _remaining() < reserve_s:
+            # Not enough budget left to compile + measure another model:
+            # record the skip explicitly instead of hanging into the
+            # external timeout (round-4 lesson).
+            out[name] = {"skipped_budget": True}
+            continue
         try:
             mc, _ = get_default_config(name, "REDDIT")
             mc["compute_dtype"] = "bfloat16"
@@ -138,6 +186,10 @@ def run_model_matrix(jax, jnp, dg, g, full, train, nf, ef, dim_node,
 
 
 def main():
+    if hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(max(1, int(BUDGET_S)))
+
     import jax
     import jax.numpy as jnp
 
@@ -193,9 +245,8 @@ def main():
                  "models": run_model_matrix(
                      jax, jnp, dg, g, full, train, nf, ef, dim_node,
                      dim_edge)}
-        print(json.dumps({"metric": "model_matrix_only", "value": 0,
-                          "unit": "ms", "vs_baseline": 0,
-                          "extra": extra}))
+        _emit({"metric": "model_matrix_only", "value": 0,
+               "unit": "ms", "vs_baseline": 0, "extra": extra})
         return
     # bfloat16 compute (params f32) — standard TPU mixed precision;
     # AP parity with f32 verified in tests/test_end_to_end.py
@@ -275,10 +326,6 @@ def main():
         "gather_rows_per_step": int(gather_rows),
         "gather_latency_floor_ms": round(latency_floor_ms, 2),
     }
-    if os.environ.get("BENCH_MODELS", "1") != "0":
-        extra["models"] = run_model_matrix(
-            jax, jnp, dg, g, full, train, nf, ef, dim_node, dim_edge)
-
     result = {
         "metric": "tgn_reddit_train_throughput",
         "value": round(throughput, 1),
@@ -286,7 +333,20 @@ def main():
         "vs_baseline": round(throughput / BASELINE_SAMPLES_PER_SEC, 3),
         "extra": extra,
     }
-    print(json.dumps(result))
+    # Emit the headline NOW — the matrix (5 models × compile + calibrate
+    # + 3×12 repeats) must never be able to void the measurement.
+    _emit(result)
+    _PARTIAL["result"] = result
+
+    if os.environ.get("BENCH_MODELS", "1") != "0":
+        extra["models"] = run_model_matrix(
+            jax, jnp, dg, g, full, train, nf, ef, dim_node, dim_edge)
+        # Re-print with the matrix merged so a last-JSON-line consumer
+        # sees the full picture; a first-line consumer already has the
+        # (identical) headline numbers.
+        _emit(result)
+    if hasattr(signal, "SIGALRM"):
+        signal.alarm(0)
 
 
 if __name__ == "__main__":
