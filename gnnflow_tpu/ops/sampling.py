@@ -663,8 +663,10 @@ def boundary_overflow(prev_mfgs: List[MFG], cap: int) -> jax.Array:
 
 def sample_deeper_compact(
         g: DeviceGraph, prev_mfgs: List[MFG], cap: int, *,
-        fanout: int, strategy: str, num_snapshots: int, window: float,
-        prop_time: bool, search_iters: int, key: jax.Array | None):
+        fanout: int = 0, strategy: str = "recent", num_snapshots: int = 1,
+        window: float = 0.0, prop_time: bool = False,
+        search_iters: int = 32, key: jax.Array | None = None,
+        sample_fn=None):
     """Sample one deeper layer over the COMPACT root set, keeping the
     result compact for the model (the full-pipeline analogue of the
     reference feeding *compacted* ``all_nodes`` to the next layer,
@@ -675,6 +677,11 @@ def sample_deeper_compact(
     caller expands the layer's output EMBEDDINGS via
     ``ops/segment_pallas.expand_blocks`` with the returned ``rank``
     [S, B].  Only exact when :func:`boundary_overflow` is False.
+
+    ``sample_fn(Rc, Tc) -> list[MFG]`` overrides the store sampler for
+    the packed roots — the block-packing math is store-independent, so a
+    partitioned trainer passes its routed layer sampler here and block
+    compaction composes with the partitioned graph store.
     """
     S = len(prev_mfgs)
     prev = prev_mfgs
@@ -695,10 +702,13 @@ def sample_deeper_compact(
     rts_S = jnp.stack([m.root_ts for m in prev])
     Rc = jnp.concatenate([roots_S, cn.reshape(S, cap * F)], axis=1)
     Tc = jnp.concatenate([rts_S, ct.reshape(S, cap * F)], axis=1)
-    mc = sample_layer_snapshots(
-        g, Rc, Tc, fanout=fanout, strategy=strategy,
-        num_snapshots=num_snapshots, window=window,
-        prop_time=prop_time, search_iters=search_iters, key=key)
+    if sample_fn is not None:
+        mc = sample_fn(Rc, Tc)
+    else:
+        mc = sample_layer_snapshots(
+            g, Rc, Tc, fanout=fanout, strategy=strategy,
+            num_snapshots=num_snapshots, window=window,
+            prop_time=prop_time, search_iters=search_iters, key=key)
     rank = jnp.where(bv, csum - 1, cap)                       # [S, B1]
     return mc, rank
 

@@ -45,12 +45,15 @@ class PartitionedTrainer(Trainer):
       partition skew (``sample_hops_partitioned``).
     """
 
-    # block compaction's packed-root sampling is single-store only; the
-    # per-boundary (nid, ts) dedup paths compose with routed sampling —
-    # each boundary's compact unique roots route to owners like any
-    # other roots (round 4; loss-equality under the partitioned store is
-    # covered by tests/test_layer_dedup.py's partitioned variants)
-    _fast_paths = frozenset({"snapshot_dedup", "layer_dedup"})
+    # all three compaction fast paths compose with routed sampling: the
+    # per-boundary (nid, ts) dedup paths route each boundary's compact
+    # unique roots to owners like any other roots (round 4), and block
+    # compaction's packing math is store-independent — its packed roots
+    # sample through _sample_layer_snaps too (round 5; loss-equality
+    # under the partitioned store: tests/test_layer_dedup.py +
+    # tests/test_model_compact.py partitioned variants)
+    _fast_paths = frozenset({"snapshot_dedup", "layer_dedup",
+                             "model_compact"})
 
     def __init__(self, model, mesh: Mesh, sampling_mode: str = "routed",
                  capacity_factor="auto", overflow_fallback: bool = True,
@@ -69,12 +72,11 @@ class PartitionedTrainer(Trainer):
         # GSPMD that would all-gather the batch-sharded MFGs; keep the
         # partitioned step per-instance unless explicitly requested.
         kwargs.setdefault("dedup_factor", None)
-        # auto-calibration probes sample the partitioned store through
-        # the _sample_plain override (eager shard_map); under
-        # multi-controller jax.distributed the probe batches would need
-        # global arrays per process, so it stays opt-in there.
-        if jax.process_count() > 1:
-            kwargs.setdefault("auto_calibrate", False)
+        # auto-calibration works under multi-controller jax.distributed
+        # too (round 5): probe batches become process-spanning global
+        # arrays (_probe_batch) and probe MFGs are all-gathered back to
+        # every host for the stats (_host_mfgs) — multi-host runs keep
+        # the tier-ladder fast paths instead of training fully padded.
         super().__init__(model, **kwargs)
         repl = NamedSharding(mesh, P())
         batch = NamedSharding(mesh, P(DATA_AXIS))
@@ -173,6 +175,26 @@ class PartitionedTrainer(Trainer):
         single-store view); routed/replicated per sampling_mode."""
         return self._sample(dg, jnp.asarray(roots, jnp.int32),
                             jnp.asarray(ts, jnp.float32), key)
+
+    def _probe_batch(self, roots, ts):
+        """Probe batches as process-spanning global arrays — under
+        multi-controller ``jax.distributed`` every jit input must be a
+        global array built from process-uniform host values."""
+        return (put_global(np.asarray(roots, np.int32), self.mesh,
+                           P(DATA_AXIS)),
+                put_global(np.asarray(ts, np.float32), self.mesh,
+                           P(DATA_AXIS)))
+
+    def _host_mfgs(self, mfgs):
+        """All-gather probe MFGs to full host copies: the calibration
+        stats (np.unique over all_nodes etc.) need the WHOLE batch, and
+        a batch-sharded global array is not addressable from one host."""
+        if jax.process_count() == 1:
+            return mfgs
+        from jax.experimental import multihost_utils
+        return jax.tree.map(
+            lambda x: np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)), mfgs)
 
     def _layer_kw(self, dg, snapshot_idx=0):
         return dict(strategy=self.strategy, snapshot_idx=snapshot_idx,

@@ -468,6 +468,7 @@ class Trainer:
         self._calibrated = True
         self._pre_calibrate(dg)
         occ = []
+        host = self._host_mfgs   # multi-process trainers all-gather
         uniq_frac = []
         boundary_frac = []
         # jit the probe sampler: eager op-by-op dispatch is pathologically
@@ -482,14 +483,13 @@ class Trainer:
             n += 1
             if isinstance(batch, tuple):
                 roots, ts = batch
-                roots = jnp.asarray(roots, jnp.int32)
-                ts = jnp.asarray(ts, jnp.float32)
             else:
-                roots = jnp.asarray(batch.target_nodes, jnp.int32)
-                ts = jnp.asarray(batch.ts, jnp.float32)
+                roots, ts = batch.target_nodes, batch.ts
+            ts = np.asarray(ts, np.float32)
             if self.is_static:
-                ts = jnp.full_like(ts, np.float32(3.4e38))
-            mfgs = _sample_probe(dg, roots, ts)
+                ts = np.full_like(ts, np.float32(3.4e38))
+            roots, ts = self._probe_batch(roots, ts)
+            mfgs = host(_sample_probe(dg, roots, ts))
             # occupancy of non-innermost layers' neighbor slots = the
             # deeper layers' root-compaction opportunity
             for layer in mfgs[1:]:
@@ -530,11 +530,11 @@ class Trainer:
             if not windowed and not self._layer_dedup_ok() \
                     and not self.model.use_memory:
                 break
-            ts_b = jnp.asarray(ts, jnp.float32)
+            ts_b = np.asarray(ts, np.float32)
             if self.is_static:
-                ts_b = jnp.full_like(ts_b, np.float32(3.4e38))
-            mfgs = _sample_probe(
-                dg, jnp.asarray(roots, jnp.int32), ts_b)
+                ts_b = np.full_like(ts_b, np.float32(3.4e38))
+            r_b, ts_b = self._probe_batch(roots, ts_b)
+            mfgs = host(_sample_probe(dg, r_b, ts_b))
             if self.model.use_memory:
                 # memory-instance uniqueness is NOT stream-stationary
                 # either (recent picks overlap less as histories grow:
@@ -618,12 +618,12 @@ class Trainer:
             vals = sorted(boundary_frac)
             qs = [vals[min(len(vals) - 1, int(q * len(vals)))]
                   for q in (0.45, 0.75)] + [vals[-1]]
-            # compile cost grows as (tiers+1)^(L-1) branch bodies (the
-            # per-boundary conds nest): 2-layer configs afford a full
-            # ladder; deeper ones get ONE tier (a 3-tier 3-layer DySAT
-            # config measured >40 min of XLA compile on v5e)
-            if len(self.fanouts) > 2:
-                qs = qs[:1]
+            # Deep (3+-layer) configs afford a full ladder too since
+            # round 5: the chain builders apply it only at the layer-1
+            # boundary (deeper boundaries take the single largest cap),
+            # so branch bodies grow additively instead of
+            # (tiers+1)^(L-1) — the blowup that measured >40 min of XLA
+            # compile for a 3-tier 3-layer DySAT config on v5e.
             tiers = []
             for u in qs:
                 f = round(min(0.92, 1.25 * u + 0.03), 2)
@@ -644,6 +644,18 @@ class Trainer:
         stats["dedup_factor"] = self.dedup_factor
         stats["layer_dedup"] = self.layer_dedup
         return stats
+
+    def _probe_batch(self, roots, ts):
+        """Calibration-probe arrays for the jitted probe sampler.
+        Multi-process trainers override to build process-spanning global
+        arrays (every jit input must be global under ``jax.distributed``)."""
+        return (jnp.asarray(roots, jnp.int32), jnp.asarray(ts, jnp.float32))
+
+    def _host_mfgs(self, mfgs):
+        """Host-readable view of probe MFGs (identity here; multi-process
+        trainers all-gather the batch-sharded arrays so ``np.asarray``
+        on the stats sites sees the FULL batch, not the local shard)."""
+        return mfgs
 
     def _maybe_auto_calibrate(self, dg, roots, ts) -> None:
         """First-batch auto-calibration (no flag needed): measure the
@@ -666,10 +678,13 @@ class Trainer:
         # realistic timestamp multiplicity): the stream-end probe still
         # bounds the single-cap knobs at the worst case, and the
         # quantile spread feeds the layer-dedup tier ladder.
-        ts_arr = jnp.asarray(ts, jnp.float32)
-        t_hi = jnp.max(dg.e_ts)
-        t_b = jnp.max(ts_arr)
-        probes = [(roots, ts_arr + (q * t_hi - t_b))
+        # host-side arithmetic: eager ops on a process-spanning sharded
+        # e_ts would fail under multi-controller jax.distributed, so the
+        # max goes through a tiny jit (replicated scalar out)
+        ts_arr = np.asarray(ts, np.float32)
+        t_hi = float(jax.jit(jnp.max)(dg.e_ts))
+        t_b = float(ts_arr.max())
+        probes = [(roots, ts_arr + np.float32(q * t_hi - t_b))
                   for q in (0.33, 0.67, 1.0)]
         stats = self.calibrate(dg, [(roots, ts)], max_batches=1,
                                occ_batches=probes)
@@ -705,8 +720,8 @@ class Trainer:
                 or stats["fallback_rate"] <= threshold:
             return state
         self._calibrated = False
-        self._maybe_auto_calibrate(dg, jnp.asarray(roots, jnp.int32),
-                                   jnp.asarray(ts, jnp.float32))
+        self._maybe_auto_calibrate(dg, np.asarray(roots, np.int32),
+                                   np.asarray(ts, np.float32))
         return state.replace(tier_takes=jnp.zeros_like(state.tier_takes))
 
     def _dedup_cap(self, num_all: int) -> int:
@@ -844,23 +859,22 @@ class Trainer:
         and never wastes deeper work.  The 2-layer case reduces to one
         step-level cond (round-2 behavior); N layers nest N-1 conds."""
         from gnnflow_tpu.ops.sampling import (boundary_overflow,
-                                              sample_deeper_compact,
-                                              sample_layer_snapshots)
+                                              sample_deeper_compact)
         dn = getattr(self.model, "dim_node", 0)
         de = getattr(self.model, "dim_edge", 0)
         factor = float(self.compact_factor)   # _step guards against None
         S = self.num_snapshots
         L = len(self.fanouts)
-        kw = dict(strategy=self.strategy, num_snapshots=S,
-                  window=self.window, prop_time=self.prop_time,
-                  search_iters=self._iters(dg))
         keys = [jax.random.fold_in(ksample, i) if ksample is not None
                 else None for i in range(L)]
         R = jnp.stack([roots] * S)
         T = jnp.stack([sample_ts] * S)
-        mfgs0 = sample_layer_snapshots(
+        # all layer sampling goes through the trainer hooks so the path
+        # composes with a partitioned store (round 5): the block-packing
+        # math is store-independent and packed roots route like any roots
+        mfgs0 = self._sample_layer_snaps(
             dg, R, T, fanout=self.fanouts[0], shared_roots=True,
-            key=keys[0], **kw)
+            key=keys[0])
 
         def run(mfgs_list, expans):
             # outermost-first chain -> the model's innermost-first order;
@@ -890,8 +904,10 @@ class Trainer:
 
             def fast(_):
                 inner, rank = sample_deeper_compact(
-                    dg, prev, cap, fanout=self.fanouts[layer],
-                    key=keys[layer], **kw)
+                    dg, prev, cap,
+                    sample_fn=lambda Rc, Tc: self._sample_layer_snaps(
+                        dg, Rc, Tc, fanout=self.fanouts[layer],
+                        key=keys[layer]))
                 return chain(layer + 1, mfgs_list + [inner],
                              expans + [(rank, cap, Fp)])
 
@@ -902,9 +918,9 @@ class Trainer:
                 for li in range(layer, L):
                     Rf = jnp.stack([r for r, _ in per])
                     Tf = jnp.stack([t for _, t in per])
-                    lm = sample_layer_snapshots(
+                    lm = self._sample_layer_snaps(
                         dg, Rf, Tf, fanout=self.fanouts[li],
-                        key=keys[li], **kw)
+                        key=keys[li])
                     ms.append(lm)
                     es.append(None)
                     per = [(m.all_nodes(), m.all_ts()) for m in lm]
@@ -963,6 +979,15 @@ class Trainer:
             prev = mlist[-1]
             La = prev.num_all
             caps = self._tier_caps(factors, La)
+            if layer > 1:
+                # Deeper boundaries keep ONLY the largest cap: the
+                # per-boundary conds nest, so branch bodies would grow
+                # (tiers+1)^(L-1) (a 3-tier 3-layer config measured
+                # >40 min of XLA compile on v5e).  One tier deep makes
+                # compile cost additive while the full ladder stays at
+                # the fat layer-1 boundary (La = B·(fanout+1), where
+                # tier savings dominate; deeper La is already cap-sized).
+                caps = caps[-1:]
             uniq_nid, uniq_ts, inv, n_uniq, sidx, rank_sorted = \
                 dedup_instances(prev.all_nodes(), prev.all_ts(),
                                 prev.all_mask(), caps[-1])
@@ -1057,6 +1082,9 @@ class Trainer:
             prev = mfgs_list[-1]                       # S MFGs
             La = prev[0].num_all
             caps = self._tier_caps(factors, La)
+            if layer > 1:
+                caps = caps[-1:]   # see _layer_dedup_outputs: ladders
+                # only at the layer-1 boundary keep compile cost additive
             dd = [dedup_instances(m.all_nodes(), m.all_ts(),
                                   m.all_mask(), caps[-1]) for m in prev]
             n_max = dd[0][3]

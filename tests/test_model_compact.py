@@ -103,6 +103,65 @@ def test_dp_sharded_compact_matches_single_device():
     np.testing.assert_allclose(b, a, rtol=5e-4)
 
 
+def _part_losses(model_compact, steps=4, mode="routed", factor=0.5,
+                 batch=240):
+    """Windowed DySAT-style config on a PARTITIONED store (round 5:
+    block compaction's packing math is store-independent; packed roots
+    sample through the routed layer sampler)."""
+    from gnnflow_tpu.parallel import (PartitionedDynamicGraph,
+                                      get_partitioner, make_mesh)
+    from gnnflow_tpu.parallel.partitioned_trainer import PartitionedTrainer
+    train, g, ef = _setup()
+    full_len = None  # _setup already ingested the single store; redo split
+    train_d = train
+    mesh = make_mesh(4)
+    pg = PartitionedDynamicGraph(
+        4, mesh=mesh, initial_pool_size=4096,
+        maximum_pool_size=1 << 22, mem_resource_type="hbm",
+        minimum_block_size=8, insertion_policy="insert")
+    # re-create the raw stream for partitioning (same seed as _setup)
+    _, _, _, full, _, _ = make_synthetic_dataset(
+        num_src=120, num_dst=30, num_edges=5000, dim_edge=12, seed=5,
+        time_scale=1.0)
+    part = get_partitioner("hash", 4)
+    parts, _ = part.partition(full.src, full.dst, full.time, full.eid)
+    pg.add_partitioned_edges(parts)
+    pg.set_partition_table(part.get_partition_table())
+    model = DGNN(dim_node=0, dim_edge=12, dim_time=16, dim_embed=32,
+                 num_layers=2, num_snapshots=3, att_head=2,
+                 dropout=0.0, att_dropout=0.0, use_memory=False)
+    tr = PartitionedTrainer(
+        model, mesh, sampling_mode=mode, fanouts=[5, 5], lr=1e-3,
+        num_snapshots=3, snapshot_time_window=3.0, prop_time=True,
+        compact_factor=factor, model_compact=model_compact,
+        auto_calibrate=False)
+    dg = pg.device_graph()
+    efj = jnp.asarray(ef)
+    state = tr.init_state(jax.random.PRNGKey(0), dg, batch, None, efj,
+                          num_nodes=pg.max_vertex_id() + 1)
+    neg = DstRandEdgeSampler(train_d.dst, seed=1)
+    losses = []
+    rng = np.random.RandomState(0)
+    for i, b in enumerate(get_batches(train_d, batch, neg, rng=rng)):
+        if i >= steps:
+            break
+        state, loss, _, _ = tr.train_step(state, dg, None, efj, b)
+        losses.append(float(loss))
+    return losses
+
+
+def test_partitioned_compact_matches_partitioned_padded():
+    a = _part_losses(False)
+    b = _part_losses(True)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_partitioned_compact_overflow_falls_back():
+    a = _part_losses(False, factor=0.02)
+    b = _part_losses(True, factor=0.02)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
 def test_uniform_trains_and_is_finite():
     """Uniform picks draw different RNG per shape; assert the compact
     path trains sanely (finite, decreasing-ish) rather than bit-equal."""

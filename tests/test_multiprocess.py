@@ -79,6 +79,41 @@ def test_two_processes_match_single_process():
 
 
 @pytest.mark.timeout(600)
+def test_two_process_auto_calibration_engages_tiers():
+    """Multi-host auto-calibration (round 5): a 2-OS-process TGAT run
+    must pick a layer-dedup tier ladder from process-uniform global
+    probe batches, ENGAGE it (takes histogram non-zero — multi-host mode
+    previously trained fully padded), and stay loss-identical to the
+    single-process run over the same global mesh."""
+    extra = ("--model", "TGAT")
+    port = _free_port()
+    procs = [_launch(2, i, port, local_devices=2, extra=extra)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=480)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    r0, r1 = _results(outs[0]), _results(outs[1])
+    assert r0 == r1
+    takes = re.findall(r"layer-dedup takes \[(\d+)", outs[0])
+    assert takes and any(int(t) > 0 for t in takes), outs[0][-3000:]
+
+    p = _launch(1, 0, _free_port(), local_devices=4, extra=extra)
+    out, _ = p.communicate(timeout=480)
+    assert p.returncode == 0, out[-3000:]
+    rs = _results(out)
+    assert set(rs) == set(r0)
+    for e in rs:
+        np.testing.assert_allclose(rs[e][0], r0[e][0], rtol=2e-4,
+                                   err_msg=f"loss mismatch at epoch {e}")
+        np.testing.assert_allclose(rs[e][1], r0[e][1], rtol=2e-3,
+                                   err_msg=f"AP mismatch at epoch {e}")
+    takes1 = re.findall(r"layer-dedup takes \[(\d+)", out)
+    assert takes == takes1
+
+
+@pytest.mark.timeout(600)
 def test_two_process_cached_matches_single_process():
     """KV-backed cache across real OS processes (the reference's
     distributed cache, ``gnnflow/cache/cache.py:364-377``): feature
