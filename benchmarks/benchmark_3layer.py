@@ -103,10 +103,17 @@ def main():
     if which in ("all", "auto"):
         run("auto")
     if which in ("all", "ladder"):
-        # ONE tier only: 3-layer branch bodies grow (tiers+1)^2 and a
-        # 2-tier ladder measured >40 min of XLA compile on v5e
         run("ladder(0.45)", layer_dedup=0.45, model_compact=False,
             compact_factor=None, auto_calibrate=False)
+    if which in ("all", "ladder2"):
+        # multi-tier ladders are affordable for deep configs since
+        # round 5: the chain applies the ladder only at the layer-1
+        # boundary (deeper boundaries take the largest cap), so branch
+        # bodies grow additively instead of (tiers+1)^(L-1) — the shape
+        # that measured >40 min of XLA compile as nested full ladders
+        run("ladder2(0.45,0.7)", layer_dedup=(0.45, 0.7),
+            model_compact=False, compact_factor=None,
+            auto_calibrate=False)
 
 
 if __name__ == "__main__":

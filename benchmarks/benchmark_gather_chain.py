@@ -266,3 +266,36 @@ def grad_bench(body, name):
 
 grad_bench(c_current, "att current")
 grad_bench(c_fmajor, "att f-major")
+
+
+# --- eid-dedup infimum (VERDICT r4 item 2): unique-then-fetch ------------
+# The reference dedups edge-feature fetches on GPU (cache.py:305-312,
+# torch.unique-then-fetch).  On TPU every dedup scheme still ends in an
+# EXPANSION back to per-slot rows — itself an N-row gather at the same
+# ~9 ns/row latency floor as the direct fetch.  The cheapest possible
+# dedup is therefore "project the WHOLE table through the step's linear
+# map (MXU, ~0.5 ms), then expansion-gather the narrow projected rows":
+# zero dedup machinery, maximal sharing.  If even that loses to the
+# direct gather, every sort/scatter-based variant loses by more.
+wproj = jnp.asarray(rng.randn(W, 200).astype(np.float32))
+proj_static = (table.astype(jnp.bfloat16) @ wproj.astype(jnp.bfloat16))
+
+
+def g_dedup_infimum(table, idv):
+    flat = jnp.clip(idv.reshape(-1), 0, R - 1)
+    # weights change every step -> the projection is per-step work
+    proj = table.astype(jnp.bfloat16) @ wproj.astype(jnp.bfloat16)
+    rows = proj[flat]                       # expansion gather: N rows
+    return jnp.sum(rows.astype(jnp.float32))
+
+
+def g_expand_only(table, idv):
+    # pure expansion-gather cost from a pre-projected [R, 200] bf16
+    # table (isolates the row-latency floor at the narrow width)
+    flat = jnp.clip(idv.reshape(-1), 0, R - 1)
+    rows = proj_static[flat]
+    return jnp.sum(rows.astype(jnp.float32))
+
+
+scan_bench(g_dedup_infimum, "dedup infimum (proj+expand)")
+scan_bench(g_expand_only, "expand-only [R,200] bf16")
