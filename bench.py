@@ -125,7 +125,8 @@ def run_model_matrix(jax, jnp, dg, g, full, train, nf, ef, dim_node,
     neg = DstRandEdgeSampler(train.dst, seed=1)
     out = {}
     B = 4000
-    groups = 3   # repeat groups -> min/median variance picture
+    repeats = int(os.environ.get("BENCH_REPEATS", repeats))
+    groups = int(os.environ.get("BENCH_GROUPS", 3))  # -> variance picture
     names = ("TGAT", "DySAT", "APAN", "GRAPHSAGE", "GAT")
     only = os.environ.get("BENCH_ONLY")
     if only:
