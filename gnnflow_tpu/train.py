@@ -572,7 +572,7 @@ class Trainer:
                  "boundary_uniq_frac": max(boundary_frac)
                  if boundary_frac else None}
         changed = False
-        if occ and self._auto_knobs["compact"]:
+        if occ and windowed and self._auto_knobs["compact"]:
             o = stats["occupancy"]
             new = round(min(0.9, 1.4 * o + 0.02), 2) if o < 0.6 else None
             if new != self.compact_factor:
