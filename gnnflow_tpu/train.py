@@ -216,6 +216,14 @@ class Trainer:
             # results never change (up to dropout-draw assignment).
             layer_dedup = None   # calibrate() picks it from the stream
         self.layer_dedup = layer_dedup
+        # Deeper (layer >= 2) boundaries dedup at their OWN cap factor,
+        # decoupled from the layer-1 ladder's top tier: the ladder top
+        # carries 1.25x overflow headroom, and inheriting it inflated
+        # every deep boundary's work ~20% on the 3-layer config
+        # (auto 245.6 vs the fitted-deep-cap shape's 200.2 ms/step).
+        # None = inherit the ladder's largest tier (manual-ladder
+        # semantics unchanged); calibrate() fits it for deep configs.
+        self.layer_dedup_deep = None
         if self.layer_dedup is not None and not self._layer_dedup_ok():
             raise ValueError(
                 "layer_dedup requires a multi-layer DGNN without memory "
@@ -506,19 +514,28 @@ class Trainer:
             if self._layer_dedup_ok():
                 # unique (nid, ts) fraction at each layer boundary (the
                 # parent layers' all_nodes = the deeper layers' roots);
-                # ONE value per probe batch (its worst boundary — the
-                # cap must hold at every boundary for the batch's
-                # tightest tier to engage)
-                bmax = 0.0
+                # one (layer-1, worst) PAIR per probe batch: the ladder
+                # applies only at the layer-1 boundary (round 5) so its
+                # tiers size from the OUTERMOST layer's uniqueness,
+                # while the largest cap must still hold at every
+                # boundary (deeper boundaries take caps[-1])
+                us = []
                 for layer in mfgs[1:]:
+                    lu = 0.0
                     for m in layer:
                         nid = np.asarray(m.all_nodes())
                         mts = np.asarray(m.all_ts()).view(np.int32)
                         va = np.asarray(m.all_mask())
                         pairs = np.stack([nid[va], mts[va]], 1)
                         u = np.unique(pairs, axis=0).shape[0]
-                        bmax = max(bmax, u / max(nid.size, 1))
-                boundary_frac.append(bmax)
+                        lu = max(lu, u / max(nid.size, 1))
+                    us.append(lu)
+                # (layer-1 u, deepest-boundary worst u): mfgs[1:] runs
+                # innermost+1 -> outermost; the outermost feeds the
+                # layer-1 boundary where the ladder applies, deeper
+                # boundaries get their own fitted cap
+                boundary_frac.append(
+                    (us[-1], max(us[:-1]) if len(us) > 1 else 0.0))
         # worst-case pseudo-batches (the first batch's ts pattern
         # SHIFTED to the stream end — realistic timestamp multiplicity,
         # maximal window fill and history length): none of the
@@ -547,8 +564,9 @@ class Trainer:
                 pairs = np.stack([nid[va], mts[va]], 1)
                 u = np.unique(pairs, axis=0).shape[0]
                 uniq_frac.append(u / max(nid.size, 1))
-            bmax = 0.0
+            us = []
             for layer in mfgs[1:]:
+                lu = 0.0
                 for m in layer:
                     if windowed:
                         occ.append(float(np.asarray(m.nbr_mask).mean()))
@@ -564,12 +582,14 @@ class Trainer:
                         va = np.asarray(m.all_mask())
                         pairs = np.stack([nid[va], mts[va]], 1)
                         u = np.unique(pairs, axis=0).shape[0]
-                        bmax = max(bmax, u / max(nid.size, 1))
+                        lu = max(lu, u / max(nid.size, 1))
+                us.append(lu)
             if self._layer_dedup_ok():
-                boundary_frac.append(bmax)
+                boundary_frac.append(
+                    (us[-1], max(us[:-1]) if len(us) > 1 else 0.0))
         stats = {"occupancy": max(occ) if occ else None,
                  "uniq_frac": max(uniq_frac) if uniq_frac else None,
-                 "boundary_uniq_frac": max(boundary_frac)
+                 "boundary_uniq_frac": max(m for _, m in boundary_frac)
                  if boundary_frac else None}
         changed = False
         if occ and windowed and self._auto_knobs["compact"]:
@@ -615,20 +635,50 @@ class Trainer:
             # above ~0.85 can't beat the sort machinery (the engaged
             # step is ~(shallow + tier·deep); measured deep fraction
             # ~0.8 at TGAT/DySAT headlines) and are dropped.
-            vals = sorted(boundary_frac)
-            qs = [vals[min(len(vals) - 1, int(q * len(vals)))]
-                  for q in (0.45, 0.75)] + [vals[-1]]
+            # Early/mid tiers size from the LAYER-1 boundary (the only
+            # boundary the ladder applies at since round 5 — measured:
+            # a (0.45, 0.7) ladder 200.2 ms/step vs the worst-boundary
+            # single 0.84 tier's 291.6 on the 3-layer windowed config);
+            # the top tier still covers the worst boundary anywhere,
+            # because deeper boundaries dedup at caps[-1].
+            b1s = sorted(b for b, _ in boundary_frac)
+            deep_worst = max(m for _, m in boundary_frac)
+            worst = max(deep_worst, b1s[-1])
+            qs = [b1s[min(len(b1s) - 1, int(q * len(b1s)))]
+                  for q in (0.45, 0.75)]
             # Deep (3+-layer) configs afford a full ladder too since
             # round 5: the chain builders apply it only at the layer-1
             # boundary (deeper boundaries take the single largest cap),
             # so branch bodies grow additively instead of
             # (tiers+1)^(L-1) — the blowup that measured >40 min of XLA
             # compile for a 3-tier 3-layer DySAT config on v5e.
+            #
+            # Low/mid tiers carry NO headroom: overflowing one just
+            # takes the next tier (cheap), while headroom inflates the
+            # engaged-step cost ~linearly in the cap.  Only the TOP
+            # tier keeps the 1.25x margin — its overflow is the padded
+            # fallback.  (Measured, 3-layer windowed: the all-headroom
+            # ladder collapsed to a single 0.84 tier at 291.6 ms/step;
+            # the headroom-free (0.45, 0.7) ladder runs 200.2.)
+            cands = [round(min(0.92, u + 0.02), 2) for u in qs] \
+                + [round(min(0.92, 1.25 * worst + 0.03), 2)]
             tiers = []
-            for u in qs:
-                f = round(min(0.92, 1.25 * u + 0.03), 2)
+            for f in cands:
                 if f <= 0.85 and (not tiers or f >= tiers[-1] + 0.08):
                     tiers.append(f)
+            if len(self.fanouts) > 2 and len(tiers) > 2:
+                # deep configs: low + top only — a 3-tier 3-layer
+                # program SIGKILLed the remote compile helper (program
+                # size), and the measured win shape is two tiers
+                # (typical-batch cap + covered worst case)
+                tiers = [tiers[0], tiers[-1]]
+            # deeper boundaries: fitted cap with a slim 1.1x margin
+            # (their overflow pads only the remaining layers)
+            new_deep = (round(min(0.85, 1.1 * deep_worst + 0.02), 2)
+                        if tiers and deep_worst > 0 else None)
+            if new_deep != self.layer_dedup_deep:
+                self.layer_dedup_deep = new_deep
+                changed = True
             new = (None if not tiers
                    else tiers[0] if len(tiers) == 1 else tuple(tiers))
             if new is not None and self.num_snapshots > 1 \
@@ -643,6 +693,7 @@ class Trainer:
         stats["compact_factor"] = self.compact_factor
         stats["dedup_factor"] = self.dedup_factor
         stats["layer_dedup"] = self.layer_dedup
+        stats["layer_dedup_deep"] = self.layer_dedup_deep
         return stats
 
     def _probe_batch(self, roots, ts):
@@ -980,14 +1031,14 @@ class Trainer:
             La = prev.num_all
             caps = self._tier_caps(factors, La)
             if layer > 1:
-                # Deeper boundaries keep ONLY the largest cap: the
-                # per-boundary conds nest, so branch bodies would grow
-                # (tiers+1)^(L-1) (a 3-tier 3-layer config measured
-                # >40 min of XLA compile on v5e).  One tier deep makes
-                # compile cost additive while the full ladder stays at
-                # the fat layer-1 boundary (La = B·(fanout+1), where
-                # tier savings dominate; deeper La is already cap-sized).
-                caps = caps[-1:]
+                # Deeper boundaries take ONE fitted cap, not the ladder:
+                # nesting ladders grows branch bodies (tiers+1)^(L-1)
+                # (>40 min of XLA compile measured), and inheriting the
+                # ladder's 1.25x-headroom top tier inflates deep work
+                # ~20% — layer_dedup_deep carries a slim fitted margin
+                # (calibrate()), falling back to the largest tier.
+                fd = self.layer_dedup_deep or factors[-1]
+                caps = self._tier_caps([fd], La)
             uniq_nid, uniq_ts, inv, n_uniq, sidx, rank_sorted = \
                 dedup_instances(prev.all_nodes(), prev.all_ts(),
                                 prev.all_mask(), caps[-1])
@@ -1083,8 +1134,9 @@ class Trainer:
             La = prev[0].num_all
             caps = self._tier_caps(factors, La)
             if layer > 1:
-                caps = caps[-1:]   # see _layer_dedup_outputs: ladders
-                # only at the layer-1 boundary keep compile cost additive
+                # one fitted deep cap; see _layer_dedup_outputs
+                fd = self.layer_dedup_deep or factors[-1]
+                caps = self._tier_caps([fd], La)
             dd = [dedup_instances(m.all_nodes(), m.all_ts(),
                                   m.all_mask(), caps[-1]) for m in prev]
             n_max = dd[0][3]
