@@ -663,9 +663,17 @@ class Trainer:
             cands = [round(min(0.92, u + 0.02), 2) for u in qs] \
                 + [round(min(0.92, 1.25 * worst + 0.03), 2)]
             tiers = []
-            for f in cands:
-                if f <= 0.85 and (not tiers or f >= tiers[-1] + 0.08):
+            for f in cands[:-1]:
+                # engaged savings at caps above ~0.7 measured BELOW the
+                # dedup machinery cost (TGAT: an engaged 0.79 tier ran
+                # 49.9 vs 48.6 ms padded) — low tiers must clear it
+                if f <= 0.7 and (not tiers or f >= tiers[-1] + 0.08):
                     tiers.append(f)
+            # the 1.25x-margin top tier only EXTENDS an existing ladder
+            # (alone it is the same sub-benefit shape)
+            if tiers and cands[-1] <= 0.85 \
+                    and cands[-1] >= tiers[-1] + 0.08:
+                tiers.append(cands[-1])
             if len(self.fanouts) > 2 and len(tiers) > 2:
                 # deep configs: low + top only — a 3-tier 3-layer
                 # program SIGKILLed the remote compile helper (program
