@@ -183,6 +183,14 @@ def run_model_matrix(jax, jnp, dg, g, full, train, nf, ef, dim_node,
                 out[name]["tier_takes"] = tstats["counts"]
         except Exception as e:  # one model failing must not hide the rest
             out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        finally:
+            # drop device buffers deterministically before the next
+            # model: lingering state/staged arrays skew the next
+            # model's HBM layout (observed: APAN 34.6 ms inside the
+            # full matrix vs 28.99 alone)
+            model = trainer = state = staged = s = None
+            import gc
+            gc.collect()
     return out
 
 

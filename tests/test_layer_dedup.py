@@ -515,3 +515,35 @@ def test_deep_multi_tier_ladder_matches_padded():
     a, _ = _losses(None, fanouts=(4, 3, 3), steps=3)
     b, tr = _losses((0.5, 0.8), fanouts=(4, 3, 3), steps=3)
     np.testing.assert_allclose(b, a, rtol=5e-4)
+
+
+def test_fitted_deep_cap_matches_padded():
+    """layer_dedup_deep (round 5): deeper boundaries dedup at their own
+    fitted cap instead of the ladder top.  Both a generous and an
+    overflow-tight deep cap must stay loss-identical to padded (the
+    tight one exercises the deep-boundary padded fallback)."""
+    a, _ = _losses(None, fanouts=(4, 3, 3), steps=3)
+
+    def run(deep):
+        train, g, ef = _setup()
+        dg = g.device_graph()
+        tr = Trainer(_model(3), fanouts=[4, 3, 3],
+                     sample_strategy="recent", lr=1e-3,
+                     layer_dedup=(0.5, 0.8), auto_calibrate=False)
+        tr.layer_dedup_deep = deep
+        tr._rejit()
+        efj = jnp.asarray(ef)
+        state = tr.init_state(jax.random.PRNGKey(0), dg, 240, None, efj,
+                              num_nodes=g.max_vertex_id() + 1)
+        neg = DstRandEdgeSampler(train.dst, seed=1)
+        losses = []
+        rng = np.random.RandomState(0)
+        for i, b in enumerate(get_batches(train, 240, neg, rng=rng)):
+            if i >= 3:
+                break
+            state, loss, _, _ = tr.train_step(state, dg, None, efj, b)
+            losses.append(float(loss))
+        return losses
+
+    np.testing.assert_allclose(run(0.85), a, rtol=5e-4)
+    np.testing.assert_allclose(run(0.05), a, rtol=5e-4)
