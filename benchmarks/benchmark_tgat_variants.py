@@ -38,6 +38,9 @@ parser.add_argument("--reps", type=int, default=12)
 parser.add_argument("--groups", type=int, default=3)
 parser.add_argument("--batch", type=int, default=4000)
 parser.add_argument("--skip-steps", action="store_true")
+parser.add_argument("--skip-micro", action="store_true")
+parser.add_argument("--variants", default="default,bmajor,remat",
+                    help="comma list: default,bmajor,remat")
 parser.add_argument("--platform", default=None)
 args = parser.parse_args()
 
@@ -158,8 +161,17 @@ def microbench_dw():
 
 
 if __name__ == "__main__":
-    microbench_dw()
+    if not args.skip_micro:
+        microbench_dw()
     if not args.skip_steps:
+        variants = {
+            "default": ("tgat default (edge-major)", {}),
+            "bmajor": ("tgat b-major", {"edge_major": False}),
+            # remat the attention layers: recompute K/V + time enc in
+            # backward instead of saving the [B, F, *] intermediates
+            "remat": ("tgat remat-attention", {"remat_attention": True}),
+        }
         g, train, ef, de = build()
-        measure("tgat default (edge-major)", {}, g, train, ef, de)
-        measure("tgat b-major", {"edge_major": False}, g, train, ef, de)
+        for key in args.variants.split(","):
+            name, over = variants[key.strip()]
+            measure(name, over, g, train, ef, de)

@@ -67,6 +67,12 @@ class DGNN(nn.Module):
     edge_major: bool = False
     gru_impl: str = "xla"                # "xla" | "pallas" (fused memory GRU)
     neg_sample_ratio: int = 1            # negatives per positive edge
+    # Rematerialize the attention layers in backward (jax.checkpoint):
+    # nothing between the layer inputs and its output is saved, so the
+    # [B, F, *] K/V intermediates and time encodings are recomputed and
+    # can fuse into the weight-grad reductions instead of round-tripping
+    # HBM.  Opt-in; measured on v5e round 5 (see BASELINE.md).
+    remat_attention: bool = False
 
     def setup(self):
         cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype \
@@ -92,9 +98,14 @@ class DGNN(nn.Module):
             else self.dim_node
 
         layers = {}
+        att_cls = TemporalAttentionLayer
+        if self.remat_attention:
+            # static_argnums counts ``self`` as 0; ``train`` is the 4th
+            # user arg and must be passed POSITIONALLY at the call site.
+            att_cls = nn.remat(TemporalAttentionLayer, static_argnums=(4,))
         for l in range(self.num_layers):
             for h in range(self.num_snapshots):
-                layers[f"l{l}h{h}"] = TemporalAttentionLayer(
+                layers[f"l{l}h{h}"] = att_cls(
                     dim_node=dim_node_input if l == 0 else self.dim_embed,
                     dim_edge=self.dim_edge,
                     dim_time=self.dim_time,
@@ -153,7 +164,7 @@ class DGNN(nn.Module):
             next_h: List[Optional[jax.Array]] = []
             for h in range(self.num_snapshots):
                 rst = self.layers[f"l{l}h{h}"](
-                    mfgs[l][h], h_in[h], edge_feats[l][h], train=train)
+                    mfgs[l][h], h_in[h], edge_feats[l][h], train)
                 if l != self.num_layers - 1:
                     if expansions is not None and \
                             expansions[l] is not None:

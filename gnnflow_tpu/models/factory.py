@@ -53,6 +53,7 @@ def build_model(name: str, model_config: dict, dim_node: int,
             attention_impl=cfg.get("attention_impl", "xla"),
             edge_major=cfg.get("edge_major",
                                cfg.get("attention_impl", "xla") == "xla"),
-            neg_sample_ratio=cfg.get("neg_sample_ratio", 1))
+            neg_sample_ratio=cfg.get("neg_sample_ratio", 1),
+            remat_attention=cfg.get("remat_attention", False))
         sampler_kwargs["neg_sample_ratio"] = cfg.get("neg_sample_ratio", 1)
     return model, sampler_kwargs

@@ -82,6 +82,11 @@ parser.add_argument("--memory-storage", default="float32",
                     help="bfloat16 halves the memory table's HBM "
                          "footprint (capacity knob for GDELT/MAG-scale "
                          "node counts; float32 is faster when it fits)")
+parser.add_argument("--remat-attention", action="store_true",
+                    help="jax.checkpoint the attention layers: recompute "
+                         "K/V + time encodings in backward instead of "
+                         "saving the [B, F, *] intermediates (memory "
+                         "knob for deep/wide configs)")
 parser.add_argument("--use-scan", action="store_true",
                     help="run each epoch as one lax.scan dispatch "
                          "(fastest; per-iteration logs unavailable)")
@@ -128,6 +133,8 @@ def main():
         pass
     if args.snapshot_time_window:
         model_config["snapshot_time_window"] = args.snapshot_time_window
+    if args.remat_attention:
+        model_config["remat_attention"] = True
 
     train_data, val_data, test_data, full_data, node_feats, edge_feats, \
         dname = load_data()

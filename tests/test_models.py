@@ -271,6 +271,44 @@ def test_dgnn_forward(cfg):
         assert last["last_updated_nid"].shape == (B,)
 
 
+def test_dgnn_remat_attention_matches_baseline():
+    """``remat_attention=True`` (jax.checkpoint around the attention
+    layers) is a pure backward-memory/schedule change: outputs, loss and
+    gradients must be bit-identical to the non-remat model, including
+    under dropout (same rng streams)."""
+    B, F = 6, 3
+    cfg = dict(num_layers=2, num_snapshots=1, use_memory=False,
+               dim_node=0, dim_edge=4, dim_time=8)
+    mfgs = _sample_mfgs(cfg["num_layers"], cfg["num_snapshots"], B, F)
+    nfs = [None]
+    efs = [[jnp.ones((m.num_dst, F, 4)) for m in layer] for layer in mfgs]
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+
+    def build(remat):
+        model = DGNN(dim_embed=8, att_head=2, dropout=0.1,
+                     att_dropout=0.1, remat_attention=remat, **cfg)
+        params = model.init(rngs, mfgs, nfs, efs, None, train=True)
+
+        def loss_fn(p):
+            pos, neg, _ = model.apply(
+                p, mfgs, nfs, efs, None, train=True,
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(pos ** 2) + jnp.sum(neg ** 2)
+
+        return params, jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    p0, (l0, g0) = build(False)
+    p1, (l1, g1) = build(True)
+    # remat must not change the parameter tree (checkpoint compatible)
+    assert jax.tree_util.tree_structure(p0) == \
+        jax.tree_util.tree_structure(p1)
+    assert float(l0) == float(l1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)), g0, g1)
+
+
 def test_multislot_mailbox_circular_write():
     """APAN circular mailbox: consecutive batches fill successive slots,
     wrapping at S."""
